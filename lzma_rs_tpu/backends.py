@@ -1,0 +1,88 @@
+"""Decode-backend selection.
+
+Three engines implement the same decode semantics:
+
+- ``spec``: the pure-Python executable specification (oracle),
+- ``native``: the C++ scalar runtime (fast host path, streaming engine),
+- ``tpu``: the lane-parallel JAX/Pallas runtime (bulk path; shards
+  independent LZMA2 segments / .xz blocks across vector lanes and devices).
+
+``auto`` routes: bulk multi-segment streams -> TPU runtime when JAX is
+importable and the stream exposes parallelism; otherwise native if built;
+otherwise spec. All three are cross-validated bit-for-bit in the test
+suite.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from lzma_rs_tpu.models.codecs import Lzma2Decoder, LzmaDecoder, xz_decode_stream
+from lzma_rs_tpu.formats.lzma_header import read_header
+from lzma_rs_tpu.utils.cursor import ByteCursor
+from lzma_rs_tpu.utils.options import Options
+
+
+def _backend() -> str:
+    return os.environ.get("LZMA_RS_TPU_BACKEND", "auto")
+
+
+def _native():
+    try:
+        from lzma_rs_tpu.native import loader
+
+        return loader.load()
+    except Exception:
+        return None
+
+
+def lzma_decode(data: bytes, options: Options) -> bytes:
+    cursor = ByteCursor(data)
+    params = read_header(cursor, options)
+    backend = _backend()
+    if backend in ("auto", "native"):
+        lib = _native()
+        if lib is not None:
+            res = lib.lzma_decode(data, cursor.pos, params, options.memlimit)
+            if res is not None:
+                return res
+            if backend == "native":
+                raise RuntimeError("native backend failed to decode")
+    decoder = LzmaDecoder(params, options.memlimit)
+    return decoder.decompress(cursor)
+
+
+def lzma2_decode(data: bytes) -> bytes:
+    backend = _backend()
+    if backend in ("auto", "native"):
+        lib = _native()
+        if lib is not None:
+            res = lib.lzma2_decode(data)
+            if res is not None:
+                return res
+    if backend == "tpu":
+        from lzma_rs_tpu.parallel import runtime
+
+        return runtime.lzma2_decode(data)
+    return Lzma2Decoder().decompress(ByteCursor(data))
+
+
+def xz_decode(data: bytes) -> bytes:
+    backend = _backend()
+    if backend == "tpu":
+        from lzma_rs_tpu.parallel import runtime
+
+        return runtime.xz_decode(data)
+    if backend in ("auto", "native"):
+        lib = _native()
+        if lib is not None:
+            decode_payload = lambda cursor: _native_lzma2_cursor(lib, cursor)
+            return xz_decode_stream(ByteCursor(data), decode_payload)
+    return xz_decode_stream(ByteCursor(data))
+
+
+def _native_lzma2_cursor(lib, cursor: ByteCursor) -> bytes:
+    out, consumed = lib.lzma2_decode_at(bytes(cursor.buf), cursor.pos)
+    cursor.pos += consumed
+    return out

@@ -1,0 +1,168 @@
+"""Loader for the native C++ runtime (liblzma_rs_tpu_native.so).
+
+Builds lazily with g++ on first use if the shared object is missing; returns
+``None`` when no toolchain is available so callers fall back to the Python
+spec engine. The wrapper exposes a small typed facade over the C ABI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "liblzma_rs_tpu_native.so")
+_SRC = os.path.join(_HERE, "lzma_native.cpp")
+
+_lock = threading.Lock()
+_cached = None
+_tried = False
+
+
+class NativeLib:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.lrt_crc64_update.restype = ctypes.c_uint64
+        lib.lrt_crc64_update.argtypes = [
+            ctypes.c_uint64,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+
+        lib.lrt_lzma_decode.restype = ctypes.c_int
+        lib.lrt_lzma_decode.argtypes = [
+            ctypes.c_char_p,  # input
+            ctypes.c_size_t,  # input len
+            ctypes.c_size_t,  # payload offset
+            ctypes.c_int,  # lc
+            ctypes.c_int,  # lp
+            ctypes.c_int,  # pb
+            ctypes.c_uint64,  # dict size
+            ctypes.c_int,  # has unpacked size
+            ctypes.c_uint64,  # unpacked size
+            ctypes.c_int,  # has memlimit
+            ctypes.c_uint64,  # memlimit
+            ctypes.POINTER(ctypes.c_void_p),  # out buf
+            ctypes.POINTER(ctypes.c_size_t),  # out len
+            ctypes.c_char_p,  # err buf (256)
+        ]
+        lib.lrt_lzma2_decode.restype = ctypes.c_int
+        lib.lrt_lzma2_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,  # start offset
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_size_t),  # consumed
+            ctypes.c_char_p,
+        ]
+        lib.lrt_free.restype = None
+        lib.lrt_free.argtypes = [ctypes.c_void_p]
+
+    def crc64_update(self, data: bytes, crc: int) -> int:
+        return self._lib.lrt_crc64_update(ctypes.c_uint64(crc), data, len(data))
+
+    def _take(self, buf, n) -> bytes:
+        try:
+            return ctypes.string_at(buf.value, n.value) if n.value else b""
+        finally:
+            self._lib.lrt_free(buf)
+
+    def lzma_decode(self, data: bytes, payload_off: int, params, memlimit):
+        """Returns decoded bytes, or raises the mapped error. None = not supported."""
+        from lzma_rs_tpu.utils.errors import IoError, LzmaError
+
+        buf = ctypes.c_void_p()
+        n = ctypes.c_size_t()
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.lrt_lzma_decode(
+            data,
+            len(data),
+            payload_off,
+            params.properties.lc,
+            params.properties.lp,
+            params.properties.pb,
+            params.dict_size,
+            int(params.unpacked_size is not None),
+            params.unpacked_size or 0,
+            int(memlimit is not None),
+            memlimit or 0,
+            ctypes.byref(buf),
+            ctypes.byref(n),
+            err,
+        )
+        if rc == 0:
+            return self._take(buf, n)
+        self._lib.lrt_free(buf)
+        msg = err.value.decode("utf-8", "replace")
+        if rc == 2:
+            raise IoError(msg)
+        raise LzmaError(msg)
+
+    def lzma2_decode(self, data: bytes) -> bytes:
+        out, _ = self.lzma2_decode_at(data, 0)
+        return out
+
+    def lzma2_decode_at(self, data: bytes, start: int):
+        from lzma_rs_tpu.utils.errors import IoError, LzmaError
+
+        buf = ctypes.c_void_p()
+        n = ctypes.c_size_t()
+        consumed = ctypes.c_size_t()
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.lrt_lzma2_decode(
+            data, len(data), start, ctypes.byref(buf), ctypes.byref(n),
+            ctypes.byref(consumed), err,
+        )
+        if rc == 0:
+            return self._take(buf, n), consumed.value
+        self._lib.lrt_free(buf)
+        msg = err.value.decode("utf-8", "replace")
+        if rc == 2:
+            raise IoError(msg)
+        raise LzmaError(msg)
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native library. Returns True on success."""
+    if not os.path.exists(_SRC):
+        return False
+    if os.path.exists(_SO) and not force:
+        if os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return True
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        _SRC,
+        "-o",
+        _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load() -> Optional[NativeLib]:
+    global _cached, _tried
+    with _lock:
+        if _tried:
+            return _cached
+        _tried = True
+        if os.environ.get("LZMA_RS_TPU_NO_NATIVE"):
+            return None
+        if not build():
+            return None
+        try:
+            _cached = NativeLib(ctypes.CDLL(_SO))
+        except Exception:
+            _cached = None
+        return _cached
