@@ -1,0 +1,821 @@
+// Native host runtime for lzma_rs_tpu: scalar LZMA/LZMA2 decoder + CRC64.
+//
+// This is the C++ counterpart of the Python executable spec in
+// models/spec.py — the fast host path for serial work (single segments,
+// streaming) while bulk decode goes to the TPU kernels. Behavior (outputs
+// and error strings) mirrors the reference implementation:
+//   range coder:      /root/reference/src/decode/rangecoder.rs:7-152
+//   state machine:    /root/reference/src/decode/lzma.rs:165-593
+//   output windows:   /root/reference/src/decode/lzbuffer.rs:4-321
+//   LZMA2 chunk loop: /root/reference/src/decode/lzma2.rs:11-230
+//
+// Exposed C ABI (see native/loader.py):
+//   lrt_crc64_update, lrt_lzma_decode, lrt_lzma2_decode,
+//   lrt_stream_* (incremental push-style decoding), lrt_free.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cstdio>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CRC64-XZ (reflected poly 0xC96C5795D7870F42), slice-by-8.
+// ---------------------------------------------------------------------------
+
+struct Crc64Tables {
+  uint64_t t[8][256];
+  Crc64Tables() {
+    const uint64_t poly = 0xC96C5795D7870F42ULL;
+    for (int i = 0; i < 256; i++) {
+      uint64_t crc = i;
+      for (int k = 0; k < 8; k++) crc = (crc & 1) ? (crc >> 1) ^ poly : crc >> 1;
+      t[0][i] = crc;
+    }
+    for (int s = 1; s < 8; s++)
+      for (int i = 0; i < 256; i++)
+        t[s][i] = t[0][t[s - 1][i] & 0xFF] ^ (t[s - 1][i] >> 8);
+  }
+};
+const Crc64Tables kCrc64;
+
+uint64_t crc64_update(uint64_t crc, const uint8_t* p, size_t n) {
+  while (n && (reinterpret_cast<uintptr_t>(p) & 7)) {
+    crc = kCrc64.t[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+    n--;
+  }
+  while (n >= 8) {
+    uint64_t x;
+    memcpy(&x, p, 8);
+    x ^= crc;
+    crc = kCrc64.t[7][x & 0xFF] ^ kCrc64.t[6][(x >> 8) & 0xFF] ^
+          kCrc64.t[5][(x >> 16) & 0xFF] ^ kCrc64.t[4][(x >> 24) & 0xFF] ^
+          kCrc64.t[3][(x >> 32) & 0xFF] ^ kCrc64.t[2][(x >> 40) & 0xFF] ^
+          kCrc64.t[1][(x >> 48) & 0xFF] ^ kCrc64.t[0][(x >> 56) & 0xFF];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) crc = kCrc64.t[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+  return crc;
+}
+
+// ---------------------------------------------------------------------------
+// Error plumbing: code 1 = LzmaError, 2 = IoError (EOF & friends).
+// ---------------------------------------------------------------------------
+
+struct Err {
+  int code = 0;
+  std::string msg;
+  bool ok() const { return code == 0; }
+};
+
+constexpr const char* kEofMsg = "failed to fill whole buffer";
+
+// ---------------------------------------------------------------------------
+// Range decoder (rangecoder.rs:7-152). Reads from a bounded byte span.
+// ---------------------------------------------------------------------------
+
+struct RangeDecoder {
+  const uint8_t* buf;
+  size_t pos, end;
+  uint32_t range = 0xFFFFFFFFu, code = 0;
+
+  bool init(Err& e) {  // skip 1 byte, read u32 BE (rangecoder.rs:26-27)
+    if (end - pos < 5) {
+      pos = end;
+      e = {2, kEofMsg};
+      return false;
+    }
+    pos++;
+    code = (uint32_t(buf[pos]) << 24) | (uint32_t(buf[pos + 1]) << 16) |
+           (uint32_t(buf[pos + 2]) << 8) | uint32_t(buf[pos + 3]);
+    pos += 4;
+    return true;
+  }
+
+  bool is_eof() const { return pos >= end; }
+  bool is_finished_ok() const { return code == 0 && is_eof(); }
+
+  inline bool normalize(Err& e) {
+    if (range < 0x0100'0000u) {
+      if (pos >= end) {
+        e = {2, kEofMsg};
+        return false;
+      }
+      range <<= 8;
+      code = (code << 8) ^ buf[pos++];
+    }
+    return true;
+  }
+
+  inline int get_bit(Err& e) {
+    range >>= 1;
+    int bit = code >= range;
+    if (bit) code -= range;
+    if (!normalize(e)) return -1;
+    return bit;
+  }
+
+  inline int64_t get(int count, Err& e) {
+    uint32_t result = 0;
+    for (int i = 0; i < count; i++) {
+      int b = get_bit(e);
+      if (b < 0) return -1;
+      result = (result << 1) ^ uint32_t(b);
+    }
+    return result;
+  }
+
+  inline int decode_bit(uint16_t* prob, bool update, Err& e) {
+    uint32_t bound = (range >> 11) * uint32_t(*prob);
+    int bit;
+    if (code < bound) {
+      if (update) *prob += (0x800 - *prob) >> 5;
+      range = bound;
+      bit = 0;
+    } else {
+      if (update) *prob -= *prob >> 5;
+      code -= bound;
+      range -= bound;
+      bit = 1;
+    }
+    if (!normalize(e)) return -1;
+    return bit;
+  }
+
+  inline int64_t parse_bit_tree(int num_bits, uint16_t* probs, bool update,
+                                Err& e) {
+    uint32_t tmp = 1;
+    for (int i = 0; i < num_bits; i++) {
+      int b = decode_bit(&probs[tmp], update, e);
+      if (b < 0) return -1;
+      tmp = (tmp << 1) ^ uint32_t(b);
+    }
+    return tmp - (1u << num_bits);
+  }
+
+  inline int64_t parse_reverse_bit_tree(int num_bits, uint16_t* probs,
+                                        size_t offset, bool update, Err& e) {
+    uint32_t result = 0;
+    size_t tmp = 1;
+    for (int i = 0; i < num_bits; i++) {
+      int b = decode_bit(&probs[offset + tmp], update, e);
+      if (b < 0) return -1;
+      tmp = (tmp << 1) ^ size_t(b);
+      result ^= uint32_t(b) << i;
+    }
+    return result;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// LZ output windows (lzbuffer.rs). Both flavors flush into `out`.
+// ---------------------------------------------------------------------------
+
+struct OutputBuffer {
+  std::string out;          // flushed output
+  std::vector<uint8_t> buf; // live window
+  bool circular = false;
+  size_t dict_size = 0;
+  uint64_t memlimit = UINT64_MAX;
+  size_t cursor = 0; // circular only
+  uint64_t len = 0;  // bytes since last reset (accum) / total (circular)
+
+  // --- accum mode (LzAccumBuffer, lzbuffer.rs:39-165)
+  void reset_accum() {
+    out.append(reinterpret_cast<const char*>(buf.data()), buf.size());
+    buf.clear();
+    len = 0;
+  }
+  // --- common
+  uint8_t last_or(uint8_t lit) const {
+    if (circular) {
+      if (len == 0) return lit;
+      size_t idx = (dict_size + cursor - 1) % dict_size;
+      return idx < buf.size() ? buf[idx] : 0;
+    }
+    return buf.empty() ? lit : buf.back();
+  }
+  bool last_n(uint64_t dist, uint8_t* val, Err& e) const {
+    if (circular) {
+      if (dist > dict_size) {
+        e = {1, "Match distance " + std::to_string(dist) +
+                    " is beyond dictionary size " + std::to_string(dict_size)};
+        return false;
+      }
+      if (dist > len) {
+        e = {1, "Match distance " + std::to_string(dist) +
+                    " is beyond output size " + std::to_string(len)};
+        return false;
+      }
+      size_t idx = (dict_size + cursor - size_t(dist)) % dict_size;
+      *val = idx < buf.size() ? buf[idx] : 0;
+      return true;
+    }
+    if (dist > buf.size()) {
+      e = {1, "Match distance " + std::to_string(dist) +
+                  " is beyond output size " + std::to_string(buf.size())};
+      return false;
+    }
+    *val = buf[buf.size() - size_t(dist)];
+    return true;
+  }
+  bool append_literal(uint8_t lit, Err& e) {
+    if (circular) {
+      if (buf.size() < cursor + 1) {
+        if (cursor + 1 <= memlimit) {
+          buf.resize(cursor + 1, 0);
+        } else {
+          e = {1, "exceeded memory limit of " + std::to_string(memlimit)};
+          return false;
+        }
+      }
+      buf[cursor] = lit;
+      cursor++;
+      len++;
+      if (cursor == dict_size) {
+        out.append(reinterpret_cast<const char*>(buf.data()), buf.size());
+        cursor = 0;
+      }
+      return true;
+    }
+    if (len + 1 > memlimit) {
+      e = {1, "exceeded memory limit of " + std::to_string(memlimit)};
+      return false;
+    }
+    buf.push_back(lit);
+    len++;
+    return true;
+  }
+  bool append_lz(uint64_t l, uint64_t dist, Err& e) {
+    if (circular) {
+      if (dist > dict_size) {
+        e = {1, "LZ distance " + std::to_string(dist) +
+                    " is beyond dictionary size " + std::to_string(dict_size)};
+        return false;
+      }
+      if (dist > len) {
+        e = {1, "LZ distance " + std::to_string(dist) +
+                    " is beyond output size " + std::to_string(len)};
+        return false;
+      }
+      size_t offset = (dict_size + cursor - size_t(dist)) % dict_size;
+      for (uint64_t i = 0; i < l; i++) {
+        uint8_t x = offset < buf.size() ? buf[offset] : 0;
+        if (!append_literal(x, e)) return false;
+        if (++offset == dict_size) offset = 0;
+      }
+      return true;
+    }
+    if (dist > buf.size()) {
+      e = {1, "LZ distance " + std::to_string(dist) + " is beyond output size " +
+                  std::to_string(buf.size())};
+      return false;
+    }
+    size_t offset = buf.size() - size_t(dist);
+    size_t old = buf.size();
+    buf.resize(old + size_t(l));
+    // Overlap-correct forward copy; memcpy fast path when spans are disjoint.
+    if (dist >= l) {
+      memcpy(&buf[old], &buf[offset], size_t(l));
+    } else {
+      for (uint64_t i = 0; i < l; i++) buf[old + i] = buf[offset + i];
+    }
+    len += l;
+    return true;
+  }
+  void finish() {
+    if (circular) {
+      if (cursor > 0)
+        out.append(reinterpret_cast<const char*>(buf.data()), cursor);
+    } else {
+      out.append(reinterpret_cast<const char*>(buf.data()), buf.size());
+      buf.clear();
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Decoder state (lzma.rs:165-593) over the flat probability table.
+// Layout matches models/state.py.
+// ---------------------------------------------------------------------------
+
+constexpr int kMaxRequiredInput = 20;  // lzma.rs:13
+
+struct Layout {
+  size_t nlit, lit, is_match, is_rep, is_rep_g0, is_rep_g1, is_rep_g2,
+      is_rep_0long, pos_slot, spec_pos, align, len_coder, rep_len_coder, total;
+  explicit Layout(int lclp) {
+    nlit = size_t(1) << lclp;
+    size_t off = 0;
+    auto take = [&](size_t n) { size_t a = off; off += n; return a; };
+    lit = take(nlit * 0x300);
+    is_match = take(192);
+    is_rep = take(12);
+    is_rep_g0 = take(12);
+    is_rep_g1 = take(12);
+    is_rep_g2 = take(12);
+    is_rep_0long = take(192);
+    pos_slot = take(4 * 64);
+    spec_pos = take(115);
+    align = take(16);
+    len_coder = take(514);
+    rep_len_coder = take(514);
+    total = off;
+  }
+};
+
+constexpr size_t kLenChoice = 0, kLenChoice2 = 1, kLenLow = 2,
+                 kLenMid = 2 + 128, kLenHigh = 2 + 256;
+
+enum class Status { Continue, Finished, NeedMore };
+
+struct DecoderState {
+  int lc = 0, lp = 0, pb = 0;
+  bool has_unpacked = false;
+  uint64_t unpacked_size = 0;
+  Layout layout{4};
+  std::vector<uint16_t> probs;
+  int state = 0;
+  uint64_t rep[4] = {0, 0, 0, 0};
+  uint8_t partial[kMaxRequiredInput];
+  size_t partial_len = 0;
+
+  void init(int lc_, int lp_, int pb_) {
+    lc = lc_;
+    lp = lp_;
+    pb = pb_;
+    int lclp = lc + lp;
+    if (size_t(1) << lclp > layout.nlit) layout = Layout(lclp);
+    probs.assign(layout.total, 0x400);
+    state = 0;
+    rep[0] = rep[1] = rep[2] = rep[3] = 0;
+  }
+
+  // One symbol (lzma.rs:278-393). `update=false` is the streaming dry-run.
+  Status process_next_inner(OutputBuffer& o, RangeDecoder& rc, bool update,
+                            Err& e) {
+    uint16_t* P = probs.data();
+    size_t pos_state = size_t(o.len) & ((size_t(1) << pb) - 1);
+
+    int b = rc.decode_bit(&P[layout.is_match + (size_t(state) << 4) + pos_state],
+                          update, e);
+    if (b < 0) return Status::Continue;  // e set
+    if (!b) {
+      // Literal (lzma.rs:526-561)
+      uint8_t prev_byte = o.last_or(0);
+      unsigned result = 1;
+      size_t lit_state =
+          ((size_t(o.len) & ((size_t(1) << lp) - 1)) << lc) + (prev_byte >> (8 - lc));
+      uint16_t* probs_base = &P[layout.lit + lit_state * 0x300];
+      if (state >= 7) {
+        uint8_t mb;
+        if (!o.last_n(rep[0] + 1, &mb, e)) return Status::Continue;
+        unsigned match_byte = mb;
+        while (result < 0x100) {
+          unsigned match_bit = (match_byte >> 7) & 1;
+          match_byte = (match_byte << 1) & 0xFF;
+          int bit = rc.decode_bit(&probs_base[((1 + match_bit) << 8) + result],
+                                  update, e);
+          if (bit < 0) return Status::Continue;
+          result = (result << 1) ^ unsigned(bit);
+          if (match_bit != unsigned(bit)) break;
+        }
+      }
+      while (result < 0x100) {
+        int bit = rc.decode_bit(&probs_base[result], update, e);
+        if (bit < 0) return Status::Continue;
+        result = (result << 1) ^ unsigned(bit);
+      }
+      if (update) {
+        if (!o.append_literal(uint8_t(result - 0x100), e)) return Status::Continue;
+        state = state < 4 ? 0 : (state < 10 ? state - 3 : state - 6);
+      }
+      return Status::Continue;
+    }
+
+    uint64_t len;
+    b = rc.decode_bit(&P[layout.is_rep + state], update, e);
+    if (b < 0) return Status::Continue;
+    if (b) {
+      // Repeated distance
+      b = rc.decode_bit(&P[layout.is_rep_g0 + state], update, e);
+      if (b < 0) return Status::Continue;
+      if (!b) {
+        b = rc.decode_bit(
+            &P[layout.is_rep_0long + (size_t(state) << 4) + pos_state], update, e);
+        if (b < 0) return Status::Continue;
+        if (!b) {
+          if (update) {
+            state = state < 7 ? 9 : 11;
+            if (!o.append_lz(1, rep[0] + 1, e)) return Status::Continue;
+          }
+          return Status::Continue;
+        }
+      } else {
+        int idx;
+        b = rc.decode_bit(&P[layout.is_rep_g1 + state], update, e);
+        if (b < 0) return Status::Continue;
+        if (!b) {
+          idx = 1;
+        } else {
+          b = rc.decode_bit(&P[layout.is_rep_g2 + state], update, e);
+          if (b < 0) return Status::Continue;
+          idx = b ? 3 : 2;
+        }
+        if (update) {
+          uint64_t dist = rep[idx];
+          for (int i = idx - 1; i >= 0; i--) rep[i + 1] = rep[i];
+          rep[0] = dist;
+        }
+      }
+      int64_t l = decode_len(rc, pos_state, update, true, e);
+      if (l < 0) return Status::Continue;
+      len = uint64_t(l);
+      if (update) state = state < 7 ? 8 : 11;
+    } else {
+      // New distance
+      if (update) {
+        rep[3] = rep[2];
+        rep[2] = rep[1];
+        rep[1] = rep[0];
+      }
+      int64_t l = decode_len(rc, pos_state, update, false, e);
+      if (l < 0) return Status::Continue;
+      len = uint64_t(l);
+      if (update) state = state < 7 ? 7 : 10;
+      int64_t rep0 = decode_distance(rc, size_t(len), update, e);
+      if (rep0 < 0) return Status::Continue;
+      if (update) {
+        rep[0] = uint64_t(rep0);
+        if (rep[0] == 0xFFFFFFFFull) {
+          if (rc.is_finished_ok()) return Status::Finished;
+          e = {1, "Found end-of-stream marker but more bytes are available"};
+          return Status::Continue;
+        }
+      }
+    }
+    if (update) {
+      len += 2;
+      if (!o.append_lz(len, rep[0] + 1, e)) return Status::Continue;
+    }
+    return Status::Continue;
+  }
+
+  int64_t decode_len(RangeDecoder& rc, size_t pos_state, bool update, bool is_rep,
+                     Err& e) {
+    uint16_t* base = &probs[is_rep ? layout.rep_len_coder : layout.len_coder];
+    int b = rc.decode_bit(&base[kLenChoice], update, e);
+    if (b < 0) return -1;
+    if (!b) return rc.parse_bit_tree(3, &base[kLenLow + pos_state * 8], update, e);
+    b = rc.decode_bit(&base[kLenChoice2], update, e);
+    if (b < 0) return -1;
+    if (!b) {
+      int64_t v = rc.parse_bit_tree(3, &base[kLenMid + pos_state * 8], update, e);
+      return v < 0 ? -1 : v + 8;
+    }
+    int64_t v = rc.parse_bit_tree(8, &base[kLenHigh], update, e);
+    return v < 0 ? -1 : v + 16;
+  }
+
+  int64_t decode_distance(RangeDecoder& rc, size_t len, bool update, Err& e) {
+    size_t len_state = len > 3 ? 3 : len;
+    int64_t pos_slot =
+        rc.parse_bit_tree(6, &probs[layout.pos_slot + len_state * 64], update, e);
+    if (pos_slot < 0) return -1;
+    if (pos_slot < 4) return pos_slot;
+    int num_direct_bits = int(pos_slot >> 1) - 1;
+    uint64_t result = (2 | (uint64_t(pos_slot) & 1)) << num_direct_bits;
+    if (pos_slot < 14) {
+      int64_t add = rc.parse_reverse_bit_tree(num_direct_bits,
+                                              probs.data() + layout.spec_pos,
+                                              size_t(result - pos_slot), update, e);
+      if (add < 0) return -1;
+      result += uint64_t(add);
+    } else {
+      int64_t d = rc.get(num_direct_bits - 4, e);
+      if (d < 0) return -1;
+      result += uint64_t(d) << 4;
+      int64_t a =
+          rc.parse_reverse_bit_tree(4, probs.data() + layout.align, 0, update, e);
+      if (a < 0) return -1;
+      result += uint64_t(a);
+    }
+    return int64_t(result);
+  }
+
+  bool try_process_next(OutputBuffer& o, const uint8_t* buf, size_t n,
+                        uint32_t range, uint32_t code) {
+    RangeDecoder rc{buf, 0, n};
+    rc.range = range;
+    rc.code = code;
+    Err e;
+    process_next_inner(o, rc, false, e);
+    return e.ok();
+  }
+
+  // The main loop (lzma.rs:435-524). partial_mode = streaming Partial.
+  bool process_mode(OutputBuffer& o, RangeDecoder& rc, bool partial_mode,
+                    Err& e) {
+    for (;;) {
+      if (has_unpacked) {
+        if (o.len >= unpacked_size) break;
+      } else if (partial_mode ? (rc.is_eof() && partial_len == 0)
+                              : (rc.is_finished_ok() && partial_len == 0)) {
+        break;
+      }
+
+      if (partial_len > 0) {
+        size_t want = kMaxRequiredInput - partial_len;
+        size_t take = want < (rc.end - rc.pos) ? want : (rc.end - rc.pos);
+        memcpy(partial + partial_len, rc.buf + rc.pos, take);
+        partial_len += take;
+        rc.pos += take;
+
+        if (partial_mode && partial_len < kMaxRequiredInput &&
+            !try_process_next(o, partial, partial_len, rc.range, rc.code))
+          return true;  // wait for more data
+
+        RangeDecoder tmp{partial, 0, partial_len};
+        tmp.range = rc.range;
+        tmp.code = rc.code;
+        Status res = process_next_inner(o, tmp, true, e);
+        if (!e.ok()) return false;
+        rc.range = tmp.range;
+        rc.code = tmp.code;
+        size_t consumed = tmp.pos;
+        memmove(partial, partial + consumed, partial_len - consumed);
+        partial_len -= consumed;
+        if (res == Status::Finished) break;
+      } else {
+        size_t remaining = rc.end - rc.pos;
+        if (partial_mode && remaining < kMaxRequiredInput &&
+            !try_process_next(o, rc.buf + rc.pos, remaining, rc.range, rc.code)) {
+          memcpy(partial, rc.buf + rc.pos, remaining);
+          partial_len = remaining;
+          rc.pos = rc.end;
+          return true;
+        }
+        Status res = process_next_inner(o, rc, true, e);
+        if (!e.ok()) return false;
+        if (res == Status::Finished) break;
+      }
+    }
+
+    if (has_unpacked && !partial_mode && unpacked_size != o.len) {
+      e = {1, "Expected unpacked size of " + std::to_string(unpacked_size) +
+                  " but decompressed to " + std::to_string(o.len)};
+      return false;
+    }
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// LZMA2 chunk loop (lzma2.rs:52-230).
+// ---------------------------------------------------------------------------
+
+bool lzma2_decode_impl(const uint8_t* data, size_t n, size_t start,
+                       OutputBuffer& accum, size_t* consumed, Err& e) {
+  DecoderState st;
+  st.init(0, 0, 0);
+  size_t pos = start;
+  bool initialized = true;  // probs initialised by init()
+  (void)initialized;
+  for (;;) {
+    if (pos >= n) {
+      e = {1, std::string("LZMA2 expected new status: ") + kEofMsg};
+      return false;
+    }
+    uint8_t control = data[pos++];
+    if (control == 0) break;
+    if (control == 1 || control == 2) {
+      if (n - pos < 2) {
+        e = {1, std::string("LZMA2 expected unpacked size: ") + kEofMsg};
+        return false;
+      }
+      size_t unpacked = (size_t(data[pos]) << 8 | data[pos + 1]) + 1;
+      pos += 2;
+      if (control == 1) accum.reset_accum();
+      if (n - pos < unpacked) {
+        e = {1, "LZMA2 expected " + std::to_string(unpacked) +
+                    " uncompressed bytes: " + kEofMsg};
+        return false;
+      }
+      for (size_t i = 0; i < unpacked; i++) accum.buf.push_back(data[pos + i]);
+      accum.len += unpacked;
+      pos += unpacked;
+      continue;
+    }
+    if (!(control & 0x80)) {
+      e = {1, "LZMA2 invalid status " + std::to_string(control) +
+                  ", must be 0, 1, 2 or >= 128"};
+      return false;
+    }
+    int reset_mode = (control >> 5) & 3;
+    if (n - pos < 2) {
+      e = {1, std::string("LZMA2 expected unpacked size: ") + kEofMsg};
+      return false;
+    }
+    uint64_t unpacked =
+        (((uint64_t(control) & 0x1F) << 16) | (uint64_t(data[pos]) << 8) |
+         data[pos + 1]) + 1;
+    pos += 2;
+    if (n - pos < 2) {
+      e = {1, std::string("LZMA2 expected packed size: ") + kEofMsg};
+      return false;
+    }
+    uint64_t packed = ((uint64_t(data[pos]) << 8) | data[pos + 1]) + 1;
+    pos += 2;
+
+    if (reset_mode == 3) accum.reset_accum();
+    if (reset_mode >= 1) {
+      int lc = st.lc, lp = st.lp, pb = st.pb;
+      if (reset_mode >= 2) {
+        if (pos >= n) {
+          e = {1, std::string("LZMA2 expected new properties: ") + kEofMsg};
+          return false;
+        }
+        unsigned p = data[pos++];
+        if (p >= 225) {
+          e = {1, "LZMA2 invalid properties: " + std::to_string(p) +
+                      " must be < 225"};
+          return false;
+        }
+        lc = p % 9;
+        p /= 9;
+        lp = p % 5;
+        pb = p / 5;
+        if (lc + lp > 4) {
+          e = {1, "LZMA2 invalid properties: lc + lp (" + std::to_string(lc) +
+                      " + " + std::to_string(lp) + ") must be <= 4"};
+          return false;
+        }
+      }
+      st.init(lc, lp, pb);
+    }
+    st.has_unpacked = true;
+    st.unpacked_size = unpacked + accum.len;
+
+    size_t chunk_end = pos + size_t(packed);
+    if (chunk_end > n) chunk_end = n;
+    RangeDecoder rc{data, pos, chunk_end};
+    Err ie;
+    if (!rc.init(ie)) {
+      e = {1, std::string("LZMA input too short: ") + ie.msg};
+      return false;
+    }
+    if (!st.process_mode(accum, rc, false, e)) return false;
+    pos = rc.pos;
+  }
+  if (consumed) *consumed = pos - start;
+  return true;
+}
+
+char* dup_out(const std::string& s) {
+  char* p = static_cast<char*>(malloc(s.size() ? s.size() : 1));
+  if (p && s.size()) memcpy(p, s.data(), s.size());
+  return p;
+}
+
+void set_err(char* err_buf, const Err& e) {
+  if (err_buf) {
+    snprintf(err_buf, 511, "%s", e.msg.c_str());
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+uint64_t lrt_crc64_update(uint64_t crc, const char* data, size_t n) {
+  return crc64_update(crc, reinterpret_cast<const uint8_t*>(data), n);
+}
+
+void lrt_free(void* p) { free(p); }
+
+// One-shot raw LZMA decode. Returns 0 ok, 1 LzmaError, 2 IoError.
+int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
+                    int lp, int pb, uint64_t dict_size, int has_unpacked,
+                    uint64_t unpacked_size, int has_memlimit, uint64_t memlimit,
+                    void** out_buf, size_t* out_len, char* err_buf) {
+  *out_buf = nullptr;
+  *out_len = 0;
+  OutputBuffer o;
+  o.circular = true;
+  o.dict_size = size_t(dict_size);
+  if (has_memlimit) o.memlimit = memlimit;
+  DecoderState st;
+  st.init(lc, lp, pb);
+  st.has_unpacked = has_unpacked != 0;
+  st.unpacked_size = unpacked_size;
+
+  RangeDecoder rc{reinterpret_cast<const uint8_t*>(data), payload_off, n};
+  Err e;
+  if (!rc.init(e)) {
+    Err w{1, std::string("LZMA stream too short: ") + e.msg};
+    set_err(err_buf, w);
+    return 1;
+  }
+  if (!st.process_mode(o, rc, false, e)) {
+    set_err(err_buf, e);
+    return e.code;
+  }
+  o.finish();
+  *out_buf = dup_out(o.out);
+  *out_len = o.out.size();
+  return 0;
+}
+
+// One-shot LZMA2 decode from `start`. Returns consumed byte count.
+int lrt_lzma2_decode(const char* data, size_t n, size_t start, void** out_buf,
+                     size_t* out_len, size_t* consumed, char* err_buf) {
+  *out_buf = nullptr;
+  *out_len = 0;
+  OutputBuffer accum;  // accum mode
+  Err e;
+  if (!lzma2_decode_impl(reinterpret_cast<const uint8_t*>(data), n, start,
+                         accum, consumed, e)) {
+    set_err(err_buf, e);
+    return e.code;
+  }
+  accum.finish();
+  *out_buf = dup_out(accum.out);
+  *out_len = accum.out.size();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Incremental push-style decoding for the Stream API (stream.rs semantics).
+// The Python layer parses the header and creates the run state with the
+// initial (range, code); feed() runs Partial mode, finish() runs Finish.
+// ---------------------------------------------------------------------------
+
+struct LrtStream {
+  DecoderState st;
+  OutputBuffer o;
+  uint32_t range = 0xFFFFFFFFu, code = 0;
+  size_t out_read = 0;  // how much of o.out Python has consumed
+};
+
+void* lrt_stream_new(int lc, int lp, int pb, uint64_t dict_size,
+                     int has_unpacked, uint64_t unpacked_size, int has_memlimit,
+                     uint64_t memlimit, uint32_t range, uint32_t code) {
+  auto* s = new LrtStream();
+  s->st.init(lc, lp, pb);
+  s->st.has_unpacked = has_unpacked != 0;
+  s->st.unpacked_size = unpacked_size;
+  s->o.circular = true;
+  s->o.dict_size = size_t(dict_size);
+  if (has_memlimit) s->o.memlimit = memlimit;
+  s->range = range;
+  s->code = code;
+  return s;
+}
+
+void lrt_stream_delete(void* h) { delete static_cast<LrtStream*>(h); }
+
+// Returns 0 ok, errcode otherwise. finish_mode: 0 = Partial, 1 = Finish.
+int lrt_stream_feed(void* h, const char* data, size_t n, int finish_mode,
+                    char* err_buf) {
+  auto* s = static_cast<LrtStream*>(h);
+  RangeDecoder rc{reinterpret_cast<const uint8_t*>(data), 0, n};
+  rc.range = s->range;
+  rc.code = s->code;
+  Err e;
+  bool ok = s->st.process_mode(s->o, rc, finish_mode == 0, e);
+  s->range = rc.range;
+  s->code = rc.code;
+  if (!ok) {
+    set_err(err_buf, e);
+    return e.code;
+  }
+  return 0;
+}
+
+// Flush remaining window bytes into `out` (used at finish()).
+void lrt_stream_finalize(void* h) {
+  static_cast<LrtStream*>(h)->o.finish();
+}
+
+// Drain newly produced output since the last call.
+int lrt_stream_take_output(void* h, void** buf, size_t* len) {
+  auto* s = static_cast<LrtStream*>(h);
+  size_t avail = s->o.out.size() - s->out_read;
+  *len = avail;
+  char* p = static_cast<char*>(malloc(avail ? avail : 1));
+  if (!p) return 1;
+  memcpy(p, s->o.out.data() + s->out_read, avail);
+  s->out_read = s->o.out.size();
+  *buf = p;
+  return 0;
+}
+
+uint64_t lrt_stream_output_len(void* h) {
+  return static_cast<LrtStream*>(h)->o.out.size();
+}
+
+}  // extern "C"
