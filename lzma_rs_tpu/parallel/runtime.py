@@ -1,0 +1,304 @@
+"""Parallel decode runtime: segments -> lanes -> devices.
+
+Host-side scheduler for the lane-parallel kernel (``ops/lane_decoder.py``):
+
+1. parse the container (`.xz` blocks / LZMA2 chunk stream) on the host —
+   tiny, sequential, cheap (headers carry all sizes:
+   ``/root/reference/src/decode/lzma2.rs:128-136``, ``decode/xz.rs:109-136``),
+2. split chunks into **segments** at dict-reset boundaries (the format's
+   natural parallel axis; window + probability state never cross a reset,
+   ``decode/lzma2.rs:104-126,147-149``),
+3. pre-fill uncompressed chunks straight into the flat output (they are
+   known without decoding and become part of the LZ window),
+4. launch every segment as one lane of the jitted micro-op kernel,
+5. verify block checks / index / footer, with reference-parity errors.
+
+Shapes are bucketed (powers of two) so repeated calls hit the jit cache.
+If the kernel flags any lane error, the stream is re-decoded with the host
+engine to reproduce the reference's exact error message (corrupt inputs are
+the rare path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from lzma_rs_tpu.formats import lzma2 as lzma2_fmt
+from lzma_rs_tpu.formats import xz as xz_fmt
+from lzma_rs_tpu.formats.lzma_header import LzmaParams, LzmaProperties
+from lzma_rs_tpu.utils.cursor import ByteCursor
+from lzma_rs_tpu.utils.errors import LzmaError, XzError
+from lzma_rs_tpu.utils import logging as log
+
+
+@dataclasses.dataclass
+class LanePlan:
+    """One lane = one dict-reset segment (or one raw-LZMA stream)."""
+
+    in_start: List[int]
+    in_end: List[int]
+    out_start: List[int]
+    out_end: List[int]
+    reset_state: List[int]
+    lc: List[int]
+    lp: List[int]
+    pb: List[int]
+    seg_base: int
+    size_known: int
+    dict_size: int
+
+
+@dataclasses.dataclass
+class DecodePlan:
+    lanes: List[LanePlan]
+    prefill: List[Tuple[int, int, int]]  # (src_off, dst_off, length)
+    total_out: int
+
+
+def plan_lzma2_stream(
+    data: bytes, start: int, out_base: int
+) -> Tuple[DecodePlan, int]:
+    """Plan one LZMA2 chunk stream; returns (plan, consumed_bytes).
+
+    Output offsets are absolute (``out_base`` + position in this stream).
+    """
+    cursor = ByteCursor(data, start)
+    table = lzma2_fmt.scan(cursor)
+
+    lanes: List[LanePlan] = []
+    prefill: List[Tuple[int, int, int]] = []
+    lane: Optional[LanePlan] = None
+
+    # Props inheritance: LZMA2 starts from lc=0, lp=0, pb=0
+    # (decode/lzma2.rs:23-34).
+    lc, lp, pb = 0, 0, 0
+    abs_out = out_base
+
+    for chunk in table.chunks:
+        if chunk.reset_dict or lane is None:
+            lane = LanePlan(
+                in_start=[], in_end=[], out_start=[], out_end=[],
+                reset_state=[], lc=[], lp=[], pb=[],
+                seg_base=abs_out, size_known=1,
+                dict_size=0xFFFFFFFF,  # LZMA2 has no distance cap per se
+            )
+            lanes.append(lane)
+        if chunk.kind == lzma2_fmt.KIND_UNCOMPRESSED:
+            prefill.append((chunk.data_off, abs_out, chunk.unpacked_size))
+        else:
+            if chunk.reset_props:
+                lc, lp, pb = chunk.props.lc, chunk.props.lp, chunk.props.pb
+            lane.in_start.append(chunk.data_off)
+            lane.in_end.append(chunk.data_off + chunk.packed_size)
+            lane.out_start.append(abs_out)
+            lane.out_end.append(abs_out + chunk.unpacked_size)
+            lane.reset_state.append(1 if chunk.reset_state else 0)
+            lane.lc.append(lc)
+            lane.lp.append(lp)
+            lane.pb.append(pb)
+        abs_out += chunk.unpacked_size
+
+    plan = DecodePlan(
+        lanes=[l for l in lanes if l.in_start],  # drop all-uncompressed lanes
+        prefill=prefill,
+        total_out=abs_out - out_base,
+    )
+    return plan, table.end_off - start
+
+
+def _next_pow2(n: int, lo: int = 1) -> int:
+    n = max(n, lo)
+    return 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_decoder():
+    import jax
+
+    from lzma_rs_tpu.ops.lane_decoder import decode_lanes
+
+    return jax.jit(decode_lanes, static_argnames=("max_iters",))
+
+
+def execute_plan(data: bytes, plans: List[DecodePlan]) -> bytes:
+    """Run one or more stream plans through the lane kernel; returns the
+    concatenated decompressed bytes (plans laid out in order)."""
+    import jax.numpy as jnp
+
+    from lzma_rs_tpu.ops import lane_decoder as ld
+
+    total_out = sum(p.total_out for p in plans)
+    lanes: List[LanePlan] = []
+    prefill: List[Tuple[int, int, int]] = []
+    for p in plans:
+        lanes.extend(p.lanes)
+        prefill.extend(p.prefill)
+
+    out = np.zeros(total_out + 1, dtype=np.uint8)  # +1 dump slot
+    src = np.frombuffer(data, dtype=np.uint8)
+    for src_off, dst_off, n in prefill:
+        out[dst_off : dst_off + n] = src[src_off : src_off + n]
+
+    if not lanes:
+        return out[:total_out].tobytes()
+
+    L = _next_pow2(len(lanes))
+    K = _next_pow2(max(len(l.in_start) for l in lanes))
+
+    def mk(fill, get, dtype=np.int32):
+        arr = np.full((L, K), fill, dtype=dtype)
+        for i, l in enumerate(lanes):
+            v = get(l)
+            arr[i, : len(v)] = v
+        return arr
+
+    in_start = mk(0, lambda l: l.in_start)
+    in_end = mk(0, lambda l: l.in_end)
+    out_start = mk(0, lambda l: l.out_start)
+    out_end = mk(0, lambda l: l.out_end)
+    reset_state = mk(0, lambda l: l.reset_state)
+    lcs = mk(0, lambda l: l.lc)
+    lps = mk(0, lambda l: l.lp)
+    pbs = mk(0, lambda l: l.pb)
+    nchunks = np.zeros(L, dtype=np.int32)
+    seg_base = np.zeros(L, dtype=np.int32)
+    size_known = np.ones(L, dtype=np.int32)
+    dict_size = np.full(L, 0xFFFFFFFF, dtype=np.uint32)
+    for i, l in enumerate(lanes):
+        nchunks[i] = len(l.in_start)
+        seg_base[i] = l.seg_base
+        size_known[i] = l.size_known
+        dict_size[i] = min(l.dict_size, 0xFFFFFFFF)
+
+    inb = np.zeros(_next_pow2(len(data)), dtype=np.uint8)
+    inb[: len(data)] = src
+    # Pad the output buffer; the kernel treats the LAST element as the dump
+    # slot for masked-off scatters, anything in (total_out, end) is slack.
+    out_init = np.zeros(_next_pow2(total_out + 1), dtype=np.uint8)
+    out_init[: total_out + 1] = out
+
+    fn = _jitted_decoder()
+    out_dev, err, outp, iters = fn(
+        jnp.asarray(inb), jnp.asarray(out_init),
+        jnp.asarray(in_start), jnp.asarray(in_end),
+        jnp.asarray(out_start), jnp.asarray(out_end),
+        jnp.asarray(reset_state), jnp.asarray(lcs), jnp.asarray(lps),
+        jnp.asarray(pbs), jnp.asarray(nchunks), jnp.asarray(seg_base),
+        jnp.asarray(size_known), jnp.asarray(dict_size),
+    )
+    err_np = np.asarray(err)
+    if err_np[: len(lanes)].any():
+        lane_idx = int(np.nonzero(err_np[: len(lanes)])[0][0])
+        raise _KernelError(lane_idx, int(err_np[lane_idx]))
+    return np.asarray(out_dev)[:total_out].tobytes()
+
+
+class _KernelError(Exception):
+    """Internal: a lane flagged an error; host replay produces the exact
+    reference error."""
+
+    def __init__(self, lane: int, code: int):
+        super().__init__(f"lane {lane} error code {code}")
+        self.lane = lane
+        self.code = code
+
+
+def _host_lzma2(data: bytes) -> bytes:
+    from lzma_rs_tpu.native import loader
+
+    lib = loader.load()
+    if lib is not None:
+        return lib.lzma2_decode(data)
+    from lzma_rs_tpu.models.codecs import Lzma2Decoder
+
+    return Lzma2Decoder().decompress(ByteCursor(data))
+
+
+def lzma2_decode(data: bytes) -> bytes:
+    """TPU-path LZMA2 decode of a full chunk stream."""
+    data = bytes(data)
+    plan, consumed = plan_lzma2_stream(data, 0, 0)
+    try:
+        return execute_plan(data, [plan])
+    except _KernelError:
+        # Corrupt stream: replay on host for the reference-parity error.
+        return _host_lzma2(data)
+
+
+def xz_decode(data: bytes) -> bytes:
+    """TPU-path `.xz` decode: all blocks' segments in one kernel launch."""
+    data = bytes(data)
+    cursor = ByteCursor(data)
+    header_flags = xz_fmt.parse_stream_header(cursor)
+
+    plans: List[DecodePlan] = []
+    block_spans: List[Tuple[int, int, int, int]] = []  # start, payload, out0, outn
+    records: List[xz_fmt.Record] = []
+    out_base = 0
+
+    # Pass 1: walk block headers + chunk tables (no payload decoding).
+    while True:
+        block_start = cursor.pos
+        info = xz_fmt.read_block_header_at(cursor)
+        if info is None:
+            break
+        filt = info.header.filters[0]
+        if len(filt.props) != 1:
+            raise XzError("Invalid properties for filter Lzma2")
+        payload_start = cursor.pos
+        plan, consumed = plan_lzma2_stream(data, payload_start, out_base)
+        cursor.pos = payload_start + consumed
+        if (
+            info.header.packed_size is not None
+            and consumed != info.header.packed_size
+        ):
+            raise XzError(
+                f"Invalid compressed size: expected {info.header.packed_size} "
+                f"but got {consumed}"
+            )
+        if (
+            info.header.unpacked_size is not None
+            and plan.total_out != info.header.unpacked_size
+        ):
+            raise XzError(
+                f"Invalid decompressed size: expected "
+                f"{info.header.unpacked_size} but got {plan.total_out}"
+            )
+        count = cursor.pos - block_start
+        pad = xz_fmt.padding_size(count)
+        xz_fmt.read_padding(cursor, pad, "block")
+        check_off = cursor.pos
+        cursor.skip(xz_fmt.check_size(header_flags.check_method))
+        plans.append(plan)
+        block_spans.append((block_start, check_off, out_base, plan.total_out))
+        records.append(
+            xz_fmt.Record(
+                unpadded_size=cursor.pos - block_start - pad,
+                unpacked_size=plan.total_out,
+            )
+        )
+        out_base += plan.total_out
+
+    index_size = xz_fmt.check_index(cursor, records)
+
+    # Pass 2: decode all blocks in one parallel launch.
+    try:
+        out = execute_plan(data, plans)
+    except _KernelError:
+        from lzma_rs_tpu.models.codecs import xz_decode_stream
+
+        return xz_decode_stream(ByteCursor(data))
+
+    # Pass 3: verify block checks in stream order.
+    for (block_start, check_off, out0, outn) in block_spans:
+        chk = ByteCursor(data, check_off)
+        xz_fmt.validate_block_check(
+            chk, out[out0 : out0 + outn], header_flags.check_method
+        )
+
+    xz_fmt.check_footer(cursor, header_flags, index_size)
+    return out

@@ -9,12 +9,21 @@ import os
 import sys
 
 if not os.environ.get("LZMA_RS_TPU_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Note: this environment pre-sets JAX_PLATFORMS=axon (TPU tunnel) via a
+    # site hook, so we must force the platform through jax.config, not env.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
