@@ -58,13 +58,13 @@ def lzma2_decode(data: bytes) -> bytes:
     if backend in ("auto", "native"):
         lib = _native()
         if lib is not None:
-            res = lib.lzma2_decode(data)
-            if res is not None:
-                return res
+            from lzma_rs_tpu.parallel import runtime
+
+            return runtime.lzma2_decode(data, engine="native")
     if backend == "tpu":
         from lzma_rs_tpu.parallel import runtime
 
-        return runtime.lzma2_decode(data)
+        return runtime.lzma2_decode(data, engine="tpu")
     return Lzma2Decoder().decompress(ByteCursor(data))
 
 
@@ -73,12 +73,14 @@ def xz_decode(data: bytes) -> bytes:
     if backend == "tpu":
         from lzma_rs_tpu.parallel import runtime
 
-        return runtime.xz_decode(data)
+        return runtime.xz_decode(data, engine="tpu")
     if backend in ("auto", "native"):
         lib = _native()
         if lib is not None:
-            decode_payload = lambda cursor: _native_lzma2_cursor(lib, cursor)
-            return xz_decode_stream(ByteCursor(data), decode_payload)
+            # segment/block-parallel across host cores via the flat decoder
+            from lzma_rs_tpu.parallel import runtime
+
+            return runtime.xz_decode(data, engine="native")
     return xz_decode_stream(ByteCursor(data))
 
 

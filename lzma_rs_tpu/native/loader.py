@@ -62,6 +62,30 @@ class NativeLib:
         lib.lrt_free.restype = None
         lib.lrt_free.argtypes = [ctypes.c_void_p]
 
+        class LrtChunk(ctypes.Structure):
+            _fields_ = [
+                ("in_start", ctypes.c_uint64),
+                ("in_end", ctypes.c_uint64),
+                ("out_start", ctypes.c_uint64),
+                ("out_end", ctypes.c_uint64),
+                ("reset_state", ctypes.c_int32),
+                ("lc", ctypes.c_int32),
+                ("lp", ctypes.c_int32),
+                ("pb", ctypes.c_int32),
+            ]
+
+        self.LrtChunk = LrtChunk
+        lib.lrt_lzma2_decode_segment.restype = ctypes.c_int
+        lib.lrt_lzma2_decode_segment.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(LrtChunk),
+            ctypes.c_int,
+            ctypes.c_void_p,  # out (points into shared writable buffer)
+            ctypes.c_size_t,
+            ctypes.c_char_p,
+        ]
+
     def crc64_update(self, data: bytes, crc: int) -> int:
         return self._lib.lrt_crc64_update(ctypes.c_uint64(crc), data, len(data))
 
@@ -105,6 +129,25 @@ class NativeLib:
     def lzma2_decode(self, data: bytes) -> bytes:
         out, _ = self.lzma2_decode_at(data, 0)
         return out
+
+    def lzma2_decode_segment(self, data, chunks, out_view, out_cap) -> None:
+        """Decode one segment's chunk schedule into ``out_view`` (a ctypes
+        pointer into a shared output buffer). Raises on error."""
+        import ctypes
+
+        from lzma_rs_tpu.utils.errors import IoError, LzmaError
+
+        n = len(chunks)
+        arr = (self.LrtChunk * n)()
+        for i, c in enumerate(chunks):
+            arr[i] = self.LrtChunk(*c)
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.lrt_lzma2_decode_segment(
+            data, len(data), arr, n, out_view, out_cap, err
+        )
+        if rc != 0:
+            msg = err.value.decode("utf-8", "replace")
+            raise IoError(msg) if rc == 2 else LzmaError(msg)
 
     def lzma2_decode_at(self, data: bytes, start: int):
         from lzma_rs_tpu.utils.errors import IoError, LzmaError

@@ -299,6 +299,63 @@ struct OutputBuffer {
 };
 
 // ---------------------------------------------------------------------------
+// Flat output: decodes straight into a caller-provided, exactly-sized
+// buffer (LZMA2 headers give exact unpacked sizes up front). This is the
+// hot path for block/segment-parallel decode: no window abstraction, no
+// per-byte capacity checks, memcpy for non-overlapping matches.
+// ---------------------------------------------------------------------------
+
+struct FlatOut {
+  uint8_t* base;     // segment output start
+  uint64_t pos = 0;  // == accum.len (bytes since segment/dict-reset start)
+  uint64_t cap = 0;  // segment capacity (sum of chunk unpacked sizes)
+  uint64_t len = 0;  // alias of pos for the shared decode templates
+
+  uint8_t last_or(uint8_t lit) const { return pos ? base[pos - 1] : lit; }
+  bool last_n(uint64_t dist, uint8_t* val, Err& e) const {
+    if (dist > pos) {
+      e = {1, "Match distance " + std::to_string(dist) +
+                  " is beyond output size " + std::to_string(pos)};
+      return false;
+    }
+    *val = base[pos - dist];
+    return true;
+  }
+  inline bool append_literal(uint8_t lit, Err& e) {
+    if (pos >= cap) {
+      e = {1, "Expected unpacked size of " + std::to_string(cap) +
+                  " but decompressed to more"};
+      return false;
+    }
+    base[pos++] = lit;
+    len = pos;
+    return true;
+  }
+  bool append_lz(uint64_t l, uint64_t dist, Err& e) {
+    if (dist > pos) {
+      e = {1, "LZ distance " + std::to_string(dist) + " is beyond output size " +
+                  std::to_string(pos)};
+      return false;
+    }
+    if (pos + l > cap) {
+      e = {1, "Expected unpacked size of " + std::to_string(cap) +
+                  " but decompressed to more"};
+      return false;
+    }
+    uint8_t* dst = base + pos;
+    const uint8_t* src = base + pos - dist;
+    if (dist >= l) {
+      memcpy(dst, src, size_t(l));
+    } else {
+      for (uint64_t i = 0; i < l; i++) dst[i] = src[i];
+    }
+    pos += l;
+    len = pos;
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Decoder state (lzma.rs:165-593) over the flat probability table.
 // Layout matches models/state.py.
 // ---------------------------------------------------------------------------
@@ -356,7 +413,8 @@ struct DecoderState {
   }
 
   // One symbol (lzma.rs:278-393). `update=false` is the streaming dry-run.
-  Status process_next_inner(OutputBuffer& o, RangeDecoder& rc, bool update,
+  template <class OUT>
+  Status process_next_inner(OUT& o, RangeDecoder& rc, bool update,
                             Err& e) {
     uint16_t* P = probs.data();
     size_t pos_state = size_t(o.len) & ((size_t(1) << pb) - 1);
@@ -507,7 +565,8 @@ struct DecoderState {
     return int64_t(result);
   }
 
-  bool try_process_next(OutputBuffer& o, const uint8_t* buf, size_t n,
+  template <class OUT>
+  bool try_process_next(OUT& o, const uint8_t* buf, size_t n,
                         uint32_t range, uint32_t code) {
     RangeDecoder rc{buf, 0, n};
     rc.range = range;
@@ -518,7 +577,8 @@ struct DecoderState {
   }
 
   // The main loop (lzma.rs:435-524). partial_mode = streaming Partial.
-  bool process_mode(OutputBuffer& o, RangeDecoder& rc, bool partial_mode,
+  template <class OUT>
+  bool process_mode(OUT& o, RangeDecoder& rc, bool partial_mode,
                     Err& e) {
     for (;;) {
       if (has_unpacked) {
@@ -745,6 +805,65 @@ int lrt_lzma2_decode(const char* data, size_t n, size_t start, void** out_buf,
   accum.finish();
   *out_buf = dup_out(accum.out);
   *out_len = accum.out.size();
+  return 0;
+}
+
+// Segment-parallel decode: one dict-reset segment = a chunk schedule that
+// decodes into a caller-provided flat buffer (offsets segment-relative).
+// Thread-safe (no shared mutable state); Python drives one call per worker
+// thread, writing disjoint regions of one shared output buffer (ctypes
+// releases the GIL around the call).
+struct LrtChunk {
+  uint64_t in_start;   // absolute offset of chunk payload (rc-init byte)
+  uint64_t in_end;
+  uint64_t out_start;  // segment-relative
+  uint64_t out_end;
+  int32_t reset_state;
+  int32_t lc, lp, pb;
+};
+
+int lrt_lzma2_decode_segment(const char* data, size_t n,
+                             const LrtChunk* chunks, int nchunks,
+                             char* out, size_t out_cap, char* err_buf) {
+  const uint8_t* in = reinterpret_cast<const uint8_t*>(data);
+  FlatOut o;
+  o.base = reinterpret_cast<uint8_t*>(out);
+  o.cap = out_cap;
+  DecoderState st;
+  st.init(0, 0, 0);
+  bool first = true;
+  for (int i = 0; i < nchunks; i++) {
+    const LrtChunk& c = chunks[i];
+    if (c.reset_state || first) {
+      st.init(c.lc, c.lp, c.pb);
+    } else {
+      st.lc = c.lc;  // props can only change with a state reset, but keep
+      st.lp = c.lp;  // the schedule authoritative
+      st.pb = c.pb;
+    }
+    first = false;
+    o.pos = c.out_start;  // uncompressed chunks were prefilled by the host
+    o.len = o.pos;
+    st.has_unpacked = true;
+    st.unpacked_size = c.out_end;
+    if (c.in_end > n || c.in_start > c.in_end) {
+      Err e{2, kEofMsg};
+      set_err(err_buf, e);
+      return e.code;
+    }
+    RangeDecoder rc{in, size_t(c.in_start), size_t(c.in_end)};
+    Err ie;
+    if (!rc.init(ie)) {
+      Err w{1, std::string("LZMA input too short: ") + ie.msg};
+      set_err(err_buf, w);
+      return 1;
+    }
+    Err e;
+    if (!st.process_mode(o, rc, false, e)) {
+      set_err(err_buf, e);
+      return e.code;
+    }
+  }
   return 0;
 }
 

@@ -197,6 +197,71 @@ def execute_plan(data: bytes, plans: List[DecodePlan]) -> bytes:
     return np.asarray(out_dev)[:total_out].tobytes()
 
 
+def execute_plan_native(
+    data: bytes, plans: List[DecodePlan], threads: Optional[int] = None
+) -> bytes:
+    """Segment-parallel decode on the host: a thread pool drives the native
+    C++ flat decoder, one call per dict-reset segment, all writing disjoint
+    ranges of one shared output buffer (ctypes releases the GIL, so threads
+    scale across cores). This is the CPU twin of the TPU lane kernel."""
+    import ctypes
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lzma_rs_tpu.native import loader
+
+    lib = loader.load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+
+    total_out = sum(p.total_out for p in plans)
+    lanes: List[LanePlan] = []
+    prefill: List[Tuple[int, int, int]] = []
+    for p in plans:
+        lanes.extend(p.lanes)
+        prefill.extend(p.prefill)
+
+    out = bytearray(total_out)
+    src = np.frombuffer(data, dtype=np.uint8)
+    outv = np.frombuffer(out, dtype=np.uint8)
+    for src_off, dst_off, n in prefill:
+        outv[dst_off : dst_off + n] = src[src_off : src_off + n]
+
+    if not lanes:
+        return bytes(out)
+
+    base_addr = ctypes.addressof(ctypes.c_char.from_buffer(out))
+
+    def run(lane: LanePlan):
+        seg_cap = lane.out_end[-1] - lane.seg_base
+        chunks = [
+            (
+                lane.in_start[i],
+                lane.in_end[i],
+                lane.out_start[i] - lane.seg_base,
+                lane.out_end[i] - lane.seg_base,
+                lane.reset_state[i],
+                lane.lc[i],
+                lane.lp[i],
+                lane.pb[i],
+            )
+            for i in range(len(lane.in_start))
+        ]
+        lib.lzma2_decode_segment(
+            data, chunks, base_addr + lane.seg_base, seg_cap
+        )
+
+    nthreads = threads or min(32, (os.cpu_count() or 1))
+    if nthreads <= 1 or len(lanes) == 1:
+        for lane in lanes:
+            run(lane)
+    else:
+        with ThreadPoolExecutor(max_workers=nthreads) as pool:
+            for f in [pool.submit(run, lane) for lane in lanes]:
+                f.result()
+    return bytes(out)
+
+
 class _KernelError(Exception):
     """Internal: a lane flagged an error; host replay produces the exact
     reference error."""
@@ -218,10 +283,16 @@ def _host_lzma2(data: bytes) -> bytes:
     return Lzma2Decoder().decompress(ByteCursor(data))
 
 
-def lzma2_decode(data: bytes) -> bytes:
-    """TPU-path LZMA2 decode of a full chunk stream."""
+def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
+    """Parallel LZMA2 decode of a full chunk stream."""
     data = bytes(data)
     plan, consumed = plan_lzma2_stream(data, 0, 0)
+    if engine == "native":
+        try:
+            return execute_plan_native(data, [plan])
+        except Exception:
+            # exact reference-parity error (or output) via sequential host
+            return _host_lzma2(data)
     try:
         return execute_plan(data, [plan])
     except _KernelError:
@@ -229,8 +300,12 @@ def lzma2_decode(data: bytes) -> bytes:
         return _host_lzma2(data)
 
 
-def xz_decode(data: bytes) -> bytes:
-    """TPU-path `.xz` decode: all blocks' segments in one kernel launch."""
+def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
+    """Parallel `.xz` decode: all blocks' segments in one launch.
+
+    ``engine``: "tpu" = lane kernel on the default JAX device;
+    "native" = thread-pool over the C++ flat decoder.
+    """
     data = bytes(data)
     cursor = ByteCursor(data)
     header_flags = xz_fmt.parse_stream_header(cursor)
@@ -286,12 +361,20 @@ def xz_decode(data: bytes) -> bytes:
     index_size = xz_fmt.check_index(cursor, records)
 
     # Pass 2: decode all blocks in one parallel launch.
-    try:
-        out = execute_plan(data, plans)
-    except _KernelError:
-        from lzma_rs_tpu.models.codecs import xz_decode_stream
+    if engine == "native":
+        try:
+            out = execute_plan_native(data, plans)
+        except Exception:
+            from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-        return xz_decode_stream(ByteCursor(data))
+            return xz_decode_stream(ByteCursor(data))
+    else:
+        try:
+            out = execute_plan(data, plans)
+        except _KernelError:
+            from lzma_rs_tpu.models.codecs import xz_decode_stream
+
+            return xz_decode_stream(ByteCursor(data))
 
     # Pass 3: verify block checks in stream order.
     for (block_start, check_off, out0, outn) in block_spans:
