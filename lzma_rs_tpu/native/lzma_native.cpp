@@ -99,9 +99,10 @@ struct RangeDecoder {
   bool is_eof() const { return pos >= end; }
   bool is_finished_ok() const { return code == 0 && is_eof(); }
 
+  template <bool CHECKED = true>
   inline bool normalize(Err& e) {
     if (range < 0x0100'0000u) {
-      if (pos >= end) {
+      if (CHECKED && pos >= end) {
         e = {2, kEofMsg};
         return false;
       }
@@ -111,63 +112,85 @@ struct RangeDecoder {
     return true;
   }
 
+  template <bool CHECKED = true>
   inline int get_bit(Err& e) {
     range >>= 1;
     int bit = code >= range;
     if (bit) code -= range;
-    if (!normalize(e)) return -1;
+    if (!normalize<CHECKED>(e)) return -1;
     return bit;
   }
 
+  template <bool CHECKED = true>
   inline int64_t get(int count, Err& e) {
     uint32_t result = 0;
     for (int i = 0; i < count; i++) {
-      int b = get_bit(e);
+      int b = get_bit<CHECKED>(e);
       if (b < 0) return -1;
       result = (result << 1) ^ uint32_t(b);
     }
     return result;
   }
 
-  inline int decode_bit(uint16_t* prob, bool update, Err& e) {
+  template <bool CHECKED = true, bool UPDATE = true>
+  inline int decode_bit(uint16_t* prob, Err& e) {
     uint32_t bound = (range >> 11) * uint32_t(*prob);
     int bit;
     if (code < bound) {
-      if (update) *prob += (0x800 - *prob) >> 5;
+      if (UPDATE) *prob += (0x800 - *prob) >> 5;
       range = bound;
       bit = 0;
     } else {
-      if (update) *prob -= *prob >> 5;
+      if (UPDATE) *prob -= *prob >> 5;
       code -= bound;
       range -= bound;
       bit = 1;
     }
-    if (!normalize(e)) return -1;
+    if (!normalize<CHECKED>(e)) return -1;
     return bit;
   }
 
-  inline int64_t parse_bit_tree(int num_bits, uint16_t* probs, bool update,
-                                Err& e) {
+  inline int decode_bit(uint16_t* prob, bool update, Err& e) {
+    return update ? decode_bit<true, true>(prob, e)
+                  : decode_bit<true, false>(prob, e);
+  }
+
+  template <bool CHECKED = true, bool UPDATE = true>
+  inline int64_t parse_bit_tree(int num_bits, uint16_t* probs, Err& e) {
     uint32_t tmp = 1;
     for (int i = 0; i < num_bits; i++) {
-      int b = decode_bit(&probs[tmp], update, e);
+      int b = decode_bit<CHECKED, UPDATE>(&probs[tmp], e);
       if (b < 0) return -1;
       tmp = (tmp << 1) ^ uint32_t(b);
     }
     return tmp - (1u << num_bits);
   }
 
+  inline int64_t parse_bit_tree(int num_bits, uint16_t* probs, bool update,
+                                Err& e) {
+    return update ? parse_bit_tree<true, true>(num_bits, probs, e)
+                  : parse_bit_tree<true, false>(num_bits, probs, e);
+  }
+
+  template <bool CHECKED = true, bool UPDATE = true>
   inline int64_t parse_reverse_bit_tree(int num_bits, uint16_t* probs,
-                                        size_t offset, bool update, Err& e) {
+                                        size_t offset, Err& e) {
     uint32_t result = 0;
     size_t tmp = 1;
     for (int i = 0; i < num_bits; i++) {
-      int b = decode_bit(&probs[offset + tmp], update, e);
+      int b = decode_bit<CHECKED, UPDATE>(&probs[offset + tmp], e);
       if (b < 0) return -1;
       tmp = (tmp << 1) ^ size_t(b);
       result ^= uint32_t(b) << i;
     }
     return result;
+  }
+
+  inline int64_t parse_reverse_bit_tree(int num_bits, uint16_t* probs,
+                                        size_t offset, bool update, Err& e) {
+    return update
+               ? parse_reverse_bit_tree<true, true>(num_bits, probs, offset, e)
+               : parse_reverse_bit_tree<true, false>(num_bits, probs, offset, e);
   }
 };
 
@@ -414,8 +437,16 @@ struct DecoderState {
 
   // One symbol (lzma.rs:278-393). `update=false` is the streaming dry-run.
   template <class OUT>
-  Status process_next_inner(OUT& o, RangeDecoder& rc, bool update,
-                            Err& e) {
+  Status process_next_inner(OUT& o, RangeDecoder& rc, bool update, Err& e) {
+    return update ? process_next_inner_t<OUT, true, true>(o, rc, e)
+                  : process_next_inner_t<OUT, true, false>(o, rc, e);
+  }
+
+  // CHECKED=false elides all input bounds checks; only legal when the
+  // caller guarantees >= MAX_REQUIRED_INPUT bytes remain (lzma.rs:9-13).
+  template <class OUT, bool CHECKED, bool UPDATE>
+  Status process_next_inner_t(OUT& o, RangeDecoder& rc, Err& e) {
+    constexpr bool update = UPDATE;
     uint16_t* P = probs.data();
     size_t pos_state = size_t(o.len) & ((size_t(1) << pb) - 1);
 
@@ -444,7 +475,7 @@ struct DecoderState {
         }
       }
       while (result < 0x100) {
-        int bit = rc.decode_bit(&probs_base[result], update, e);
+        int bit = rc.decode_bit<CHECKED, UPDATE>(&probs_base[result], e);
         if (bit < 0) return Status::Continue;
         result = (result << 1) ^ unsigned(bit);
       }
@@ -456,15 +487,15 @@ struct DecoderState {
     }
 
     uint64_t len;
-    b = rc.decode_bit(&P[layout.is_rep + state], update, e);
+    b = rc.decode_bit<CHECKED, UPDATE>(&P[layout.is_rep + state], e);
     if (b < 0) return Status::Continue;
     if (b) {
       // Repeated distance
-      b = rc.decode_bit(&P[layout.is_rep_g0 + state], update, e);
+      b = rc.decode_bit<CHECKED, UPDATE>(&P[layout.is_rep_g0 + state], e);
       if (b < 0) return Status::Continue;
       if (!b) {
-        b = rc.decode_bit(
-            &P[layout.is_rep_0long + (size_t(state) << 4) + pos_state], update, e);
+        b = rc.decode_bit<CHECKED, UPDATE>(
+            &P[layout.is_rep_0long + (size_t(state) << 4) + pos_state], e);
         if (b < 0) return Status::Continue;
         if (!b) {
           if (update) {
@@ -475,12 +506,12 @@ struct DecoderState {
         }
       } else {
         int idx;
-        b = rc.decode_bit(&P[layout.is_rep_g1 + state], update, e);
+        b = rc.decode_bit<CHECKED, UPDATE>(&P[layout.is_rep_g1 + state], e);
         if (b < 0) return Status::Continue;
         if (!b) {
           idx = 1;
         } else {
-          b = rc.decode_bit(&P[layout.is_rep_g2 + state], update, e);
+          b = rc.decode_bit<CHECKED, UPDATE>(&P[layout.is_rep_g2 + state], e);
           if (b < 0) return Status::Continue;
           idx = b ? 3 : 2;
         }
@@ -490,7 +521,7 @@ struct DecoderState {
           rep[0] = dist;
         }
       }
-      int64_t l = decode_len(rc, pos_state, update, true, e);
+      int64_t l = decode_len<CHECKED, UPDATE>(rc, pos_state, true, e);
       if (l < 0) return Status::Continue;
       len = uint64_t(l);
       if (update) state = state < 7 ? 8 : 11;
@@ -501,11 +532,11 @@ struct DecoderState {
         rep[2] = rep[1];
         rep[1] = rep[0];
       }
-      int64_t l = decode_len(rc, pos_state, update, false, e);
+      int64_t l = decode_len<CHECKED, UPDATE>(rc, pos_state, false, e);
       if (l < 0) return Status::Continue;
       len = uint64_t(l);
       if (update) state = state < 7 ? 7 : 10;
-      int64_t rep0 = decode_distance(rc, size_t(len), update, e);
+      int64_t rep0 = decode_distance<CHECKED, UPDATE>(rc, size_t(len), e);
       if (rep0 < 0) return Status::Continue;
       if (update) {
         rep[0] = uint64_t(rep0);
@@ -523,42 +554,44 @@ struct DecoderState {
     return Status::Continue;
   }
 
-  int64_t decode_len(RangeDecoder& rc, size_t pos_state, bool update, bool is_rep,
+  template <bool CHECKED, bool UPDATE>
+  int64_t decode_len(RangeDecoder& rc, size_t pos_state, bool is_rep,
                      Err& e) {
     uint16_t* base = &probs[is_rep ? layout.rep_len_coder : layout.len_coder];
-    int b = rc.decode_bit(&base[kLenChoice], update, e);
+    int b = rc.decode_bit<CHECKED, UPDATE>(&base[kLenChoice], e);
     if (b < 0) return -1;
-    if (!b) return rc.parse_bit_tree(3, &base[kLenLow + pos_state * 8], update, e);
-    b = rc.decode_bit(&base[kLenChoice2], update, e);
+    if (!b) return rc.parse_bit_tree<CHECKED, UPDATE>(3, &base[kLenLow + pos_state * 8], e);
+    b = rc.decode_bit<CHECKED, UPDATE>(&base[kLenChoice2], e);
     if (b < 0) return -1;
     if (!b) {
-      int64_t v = rc.parse_bit_tree(3, &base[kLenMid + pos_state * 8], update, e);
+      int64_t v = rc.parse_bit_tree<CHECKED, UPDATE>(3, &base[kLenMid + pos_state * 8], e);
       return v < 0 ? -1 : v + 8;
     }
-    int64_t v = rc.parse_bit_tree(8, &base[kLenHigh], update, e);
+    int64_t v = rc.parse_bit_tree<CHECKED, UPDATE>(8, &base[kLenHigh], e);
     return v < 0 ? -1 : v + 16;
   }
 
-  int64_t decode_distance(RangeDecoder& rc, size_t len, bool update, Err& e) {
+  template <bool CHECKED, bool UPDATE>
+  int64_t decode_distance(RangeDecoder& rc, size_t len, Err& e) {
     size_t len_state = len > 3 ? 3 : len;
     int64_t pos_slot =
-        rc.parse_bit_tree(6, &probs[layout.pos_slot + len_state * 64], update, e);
+        rc.parse_bit_tree<CHECKED, UPDATE>(6, &probs[layout.pos_slot + len_state * 64], e);
     if (pos_slot < 0) return -1;
     if (pos_slot < 4) return pos_slot;
     int num_direct_bits = int(pos_slot >> 1) - 1;
     uint64_t result = (2 | (uint64_t(pos_slot) & 1)) << num_direct_bits;
     if (pos_slot < 14) {
-      int64_t add = rc.parse_reverse_bit_tree(num_direct_bits,
+      int64_t add = rc.parse_reverse_bit_tree<CHECKED, UPDATE>(num_direct_bits,
                                               probs.data() + layout.spec_pos,
-                                              size_t(result - pos_slot), update, e);
+                                              size_t(result - pos_slot), e);
       if (add < 0) return -1;
       result += uint64_t(add);
     } else {
-      int64_t d = rc.get(num_direct_bits - 4, e);
+      int64_t d = rc.get<CHECKED>(num_direct_bits - 4, e);
       if (d < 0) return -1;
       result += uint64_t(d) << 4;
       int64_t a =
-          rc.parse_reverse_bit_tree(4, probs.data() + layout.align, 0, update, e);
+          rc.parse_reverse_bit_tree<CHECKED, UPDATE>(4, probs.data() + layout.align, 0, e);
       if (a < 0) return -1;
       result += uint64_t(a);
     }
@@ -619,7 +652,12 @@ struct DecoderState {
           rc.pos = rc.end;
           return true;
         }
-        Status res = process_next_inner(o, rc, true, e);
+        Status res;
+        if (!partial_mode && rc.end - rc.pos >= 2 * kMaxRequiredInput) {
+          res = process_next_inner_t<OUT, false, true>(o, rc, e);
+        } else {
+          res = process_next_inner_t<OUT, true, true>(o, rc, e);
+        }
         if (!e.ok()) return false;
         if (res == Status::Finished) break;
       }
