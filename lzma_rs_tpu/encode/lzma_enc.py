@@ -36,6 +36,17 @@ def lzma_compress(data: bytes, options: CompressOptions | None = None) -> bytes:
         write_size_field=mode.writes_header_field,
     )
 
+    write_eos = mode.writes_header_field and mode.value is None
+    # Fast path: native range encoder (bit-identical to the Python one).
+    try:
+        from lzma_rs_tpu.native import loader
+
+        lib = loader.load()
+    except Exception:
+        lib = None
+    if lib is not None:
+        return header + lib.lzma_encode_body(bytes(data), write_eos)
+
     rc = RangeEncoder()
     literal_probs = fresh_probs(8 * 0x300)  # [prev_byte >> 5][0x300]
     is_match = fresh_probs(4)  # pos_state contexts (pb=2)

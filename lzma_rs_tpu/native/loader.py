@@ -74,6 +74,15 @@ class NativeLib:
                 ("pb", ctypes.c_int32),
             ]
 
+        lib.lrt_lzma_encode_body.restype = ctypes.c_int
+        lib.lrt_lzma_encode_body.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+
         self.LrtChunk = LrtChunk
         lib.lrt_lzma2_decode_segment.restype = ctypes.c_int
         lib.lrt_lzma2_decode_segment.argtypes = [
@@ -129,6 +138,14 @@ class NativeLib:
     def lzma2_decode(self, data: bytes) -> bytes:
         out, _ = self.lzma2_decode_at(data, 0)
         return out
+
+    def lzma_encode_body(self, data: bytes, write_eos: bool) -> bytes:
+        buf = ctypes.c_void_p()
+        n = ctypes.c_size_t()
+        self._lib.lrt_lzma_encode_body(
+            data, len(data), int(write_eos), ctypes.byref(buf), ctypes.byref(n)
+        )
+        return self._take(buf, n)
 
     def lzma2_decode_segment(self, data, chunks, out_view, out_cap) -> None:
         """Decode one segment's chunk schedule into ``out_view`` (a ctypes

@@ -773,6 +773,52 @@ bool lzma2_decode_impl(const uint8_t* data, size_t n, size_t start,
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// Range encoder (mirror of encode/rangecoder.rs:7-144): 64-bit low with
+// cache/cache-size carry propagation, 5-byte flush.
+// ---------------------------------------------------------------------------
+
+struct RangeEncoder {
+  std::string out;
+  uint32_t range = 0xFFFFFFFFu;
+  uint64_t low = 0;
+  uint8_t cache = 0;
+  uint32_t cachesz = 1;
+
+  inline void write_low() {
+    if (low < 0xFF000000ull || low > 0xFFFFFFFFull) {
+      uint8_t tmp = cache;
+      do {
+        out.push_back(char(uint8_t(tmp + (low >> 32))));
+        tmp = 0xFF;
+      } while (--cachesz);
+      cache = uint8_t(low >> 24);
+    }
+    cachesz++;
+    low = (low << 8) & 0xFFFFFFFFull;
+  }
+
+  void finish() {
+    for (int i = 0; i < 5; i++) write_low();
+  }
+
+  inline void encode_bit(uint16_t* prob, int bit) {
+    uint32_t bound = (range >> 11) * uint32_t(*prob);
+    if (bit) {
+      *prob -= *prob >> 5;
+      low += bound;
+      range -= bound;
+    } else {
+      *prob += (0x800 - *prob) >> 5;
+      range = bound;
+    }
+    while (range < 0x01000000u) {
+      range <<= 8;
+      write_low();
+    }
+  }
+};
+
 char* dup_out(const std::string& s) {
   char* p = static_cast<char*>(malloc(s.size() ? s.size() : 1));
   if (p && s.size()) memcpy(p, s.data(), s.size());
@@ -843,6 +889,49 @@ int lrt_lzma2_decode(const char* data, size_t n, size_t start, void** out_buf,
   accum.finish();
   *out_buf = dup_out(accum.out);
   *out_len = accum.out.size();
+  return 0;
+}
+
+// Literal-only LZMA encode body (mirror of encode/dumbencoder.rs:64-123):
+// lc=3, lp=0, pb=2 hard-coded like the reference; 8 literal contexts via
+// prev_byte >> 5; optional EOS marker. The 13-byte header is written by the
+// Python layer. Returns the range-coded payload.
+int lrt_lzma_encode_body(const char* data, size_t n, int write_eos,
+                         void** out_buf, size_t* out_len) {
+  const uint8_t* in = reinterpret_cast<const uint8_t*>(data);
+  RangeEncoder rc;
+  rc.out.reserve(n + n / 4 + 64);
+  std::vector<uint16_t> literal_probs(8 * 0x300, 0x400);
+  uint16_t is_match[4] = {0x400, 0x400, 0x400, 0x400};
+
+  uint8_t prev = 0;
+  for (size_t i = 0; i < n; i++) {
+    rc.encode_bit(&is_match[i & 3], 0);
+    uint16_t* probs = &literal_probs[size_t(prev >> 5) * 0x300];
+    unsigned result = 1;
+    uint8_t byte = in[i];
+    for (int k = 7; k >= 0; k--) {
+      int bit = (byte >> k) & 1;
+      rc.encode_bit(&probs[result], bit);
+      result = (result << 1) ^ unsigned(bit);
+    }
+    prev = byte;
+  }
+
+  if (write_eos) {
+    // match + dummy len 0 + distance field 0xFFFF_FFFF
+    // (dumbencoder.rs:87-123: fresh 0x400 prob per bit)
+    size_t pos_state = n & 3;
+    rc.encode_bit(&is_match[pos_state], 1);
+    uint16_t scratch;
+    scratch = 0x400; rc.encode_bit(&scratch, 0);      // is_rep = 0
+    for (int i = 0; i < 4; i++) { scratch = 0x400; rc.encode_bit(&scratch, 0); }
+    for (int i = 0; i < 6; i++) { scratch = 0x400; rc.encode_bit(&scratch, 1); }
+    for (int i = 0; i < 30; i++) { scratch = 0x400; rc.encode_bit(&scratch, 1); }
+  }
+  rc.finish();
+  *out_buf = dup_out(rc.out);
+  *out_len = rc.out.size();
   return 0;
 }
 

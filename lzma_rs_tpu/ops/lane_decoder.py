@@ -116,6 +116,7 @@ def decode_lanes(
     size_known,   # [L] i32 (0 = raw stream terminated by EOS marker)
     dict_size,    # [L] u32
     max_iters=None,
+    unroll=1,     # micro-ops per while-loop iteration (amortizes loop cost)
 ):
     """Run all lanes to completion. Returns (out, err, outp, niters)."""
     L = int(nchunks.shape[0])
@@ -610,6 +611,14 @@ def decode_lanes(
         if max_iters is not None:
             return active & (R["iters"] < max_iters)
         return active
+
+    if unroll > 1:
+        inner = step
+
+        def step(R):  # noqa: F811 — unrolled body
+            for _ in range(unroll):
+                R = inner(R)
+            return R
 
     final = jax.lax.while_loop(cond, step, R)
     return final["out"], final["err"], final["outp"], final["iters"]
