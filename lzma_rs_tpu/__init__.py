@@ -160,17 +160,30 @@ class compress:  # noqa: N801 — namespace mirroring `lzma_rs::compress`
     UnpackedSize = WriteUnpackedSize
 
 
-class decompress:  # noqa: N801 — namespace mirroring `lzma_rs::decompress`
+class _RawNamespace:
+    """Lazy proxy for the raw decoding primitives (`decompress::raw`)."""
+
+    def __getattr__(self, name):
+        import importlib
+
+        raw_mod = importlib.import_module("lzma_rs_tpu.raw")
+        return getattr(raw_mod, name)
+
+
+class _DecompressMeta(type):
+    @property
+    def Stream(cls):
+        from lzma_rs_tpu.stream import Stream as _Stream
+
+        return _Stream
+
+
+class decompress(metaclass=_DecompressMeta):  # noqa: N801 — `lzma_rs::decompress`
     """Decompression options / streaming / raw namespace."""
 
     Options = Options
     UnpackedSize = UnpackedSize
-
-    @staticmethod
-    def _raw():
-        from lzma_rs_tpu import raw
-
-        return raw
+    raw = _RawNamespace()
 
 
 def __getattr__(name):
@@ -180,9 +193,9 @@ def __getattr__(name):
 
         return Stream
     if name == "raw":
-        from lzma_rs_tpu import raw as raw_mod
+        import importlib
 
-        return raw_mod
+        return importlib.import_module("lzma_rs_tpu.raw")
     raise AttributeError(name)
 
 

@@ -261,7 +261,17 @@ def validate_block_check(
                 f"0x{digest:016x}"
             )
         return
-    raise XzError("Unsupported SHA-256 checksum (not yet implemented)")
+    # SHA-256: the reference rejects it ("Unsupported SHA-256 checksum
+    # (not yet implemented)", decode/xz.rs:326-330); we verify it.
+    import hashlib
+
+    expected_sha = bytes(cursor.read_exact(32))
+    digest_sha = hashlib.sha256(decoded).digest()
+    if expected_sha != digest_sha:
+        raise XzError(
+            f"Invalid block SHA-256, expected {expected_sha.hex()} but got "
+            f"{digest_sha.hex()}"
+        )
 
 
 def padding_size(count: int) -> int:

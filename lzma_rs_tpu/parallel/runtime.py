@@ -181,16 +181,30 @@ def execute_plan(data: bytes, plans: List[DecodePlan]) -> bytes:
     out_init = np.zeros(_next_pow2(total_out + 1), dtype=np.uint8)
     out_init[: total_out + 1] = out
 
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    st = stats_mod.current()
+    if st is not None:
+        st.engine = "tpu"
+        st.lanes += len(lanes)
+        st.chunks += int(nchunks.sum())
+        st.prefill_bytes += sum(n for _, _, n in prefill)
+        st.packed_bytes += len(data)
+        st.unpacked_bytes += total_out
+
     fn = _jitted_decoder()
-    out_dev, err, outp, iters = fn(
-        jnp.asarray(inb), jnp.asarray(out_init),
-        jnp.asarray(in_start), jnp.asarray(in_end),
-        jnp.asarray(out_start), jnp.asarray(out_end),
-        jnp.asarray(reset_state), jnp.asarray(lcs), jnp.asarray(lps),
-        jnp.asarray(pbs), jnp.asarray(nchunks), jnp.asarray(seg_base),
-        jnp.asarray(size_known), jnp.asarray(dict_size),
-    )
-    err_np = np.asarray(err)
+    with stats_mod.launch_timer(st):
+        out_dev, err, outp, iters = fn(
+            jnp.asarray(inb), jnp.asarray(out_init),
+            jnp.asarray(in_start), jnp.asarray(in_end),
+            jnp.asarray(out_start), jnp.asarray(out_end),
+            jnp.asarray(reset_state), jnp.asarray(lcs), jnp.asarray(lps),
+            jnp.asarray(pbs), jnp.asarray(nchunks), jnp.asarray(seg_base),
+            jnp.asarray(size_known), jnp.asarray(dict_size),
+        )
+        err_np = np.asarray(err)
+    if st is not None:
+        st.kernel_iters += int(iters)
     if err_np[: len(lanes)].any():
         lane_idx = int(np.nonzero(err_np[: len(lanes)])[0][0])
         raise _KernelError(lane_idx, int(err_np[lane_idx]))
@@ -227,6 +241,17 @@ def execute_plan_native(
     for src_off, dst_off, n in prefill:
         outv[dst_off : dst_off + n] = src[src_off : src_off + n]
 
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    st = stats_mod.current()
+    if st is not None:
+        st.engine = "native"
+        st.lanes += len(lanes)
+        st.chunks += sum(len(l.in_start) for l in lanes)
+        st.prefill_bytes += sum(n for _, _, n in prefill)
+        st.packed_bytes += len(data)
+        st.unpacked_bytes += total_out
+
     if not lanes:
         return bytes(out)
 
@@ -252,13 +277,14 @@ def execute_plan_native(
         )
 
     nthreads = threads or min(32, (os.cpu_count() or 1))
-    if nthreads <= 1 or len(lanes) == 1:
-        for lane in lanes:
-            run(lane)
-    else:
-        with ThreadPoolExecutor(max_workers=nthreads) as pool:
-            for f in [pool.submit(run, lane) for lane in lanes]:
-                f.result()
+    with stats_mod.launch_timer(st):
+        if nthreads <= 1 or len(lanes) == 1:
+            for lane in lanes:
+                run(lane)
+        else:
+            with ThreadPoolExecutor(max_workers=nthreads) as pool:
+                for f in [pool.submit(run, lane) for lane in lanes]:
+                    f.result()
     return bytes(out)
 
 
