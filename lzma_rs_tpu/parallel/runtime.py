@@ -115,13 +115,31 @@ def _next_pow2(n: int, lo: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: TPU compiles of the micro-op kernel
+    are minutes over the remote-compile tunnel; cache them on disk."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "LZMA_RS_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/lzma_rs_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted_decoder():
     import jax
 
     from lzma_rs_tpu.ops.lane_decoder import decode_lanes
 
-    return jax.jit(decode_lanes, static_argnames=("max_iters",))
+    _enable_compile_cache()
+    return jax.jit(decode_lanes, static_argnames=("max_iters", "unroll"))
 
 
 def execute_plan(data: bytes, plans: List[DecodePlan]) -> bytes:
@@ -192,6 +210,11 @@ def execute_plan(data: bytes, plans: List[DecodePlan]) -> bytes:
         st.packed_bytes += len(data)
         st.unpacked_bytes += total_out
 
+    import jax
+
+    # Unrolling amortizes loop-boundary stalls on TPU (~2x, measured on
+    # v5e) but multiplies compile time; CPU (tests) keeps the small body.
+    unroll = 8 if jax.default_backend() == "tpu" else 1
     fn = _jitted_decoder()
     with stats_mod.launch_timer(st):
         out_dev, err, outp, iters = fn(
@@ -201,6 +224,7 @@ def execute_plan(data: bytes, plans: List[DecodePlan]) -> bytes:
             jnp.asarray(reset_state), jnp.asarray(lcs), jnp.asarray(lps),
             jnp.asarray(pbs), jnp.asarray(nchunks), jnp.asarray(seg_base),
             jnp.asarray(size_known), jnp.asarray(dict_size),
+            unroll=unroll,
         )
         err_np = np.asarray(err)
     if st is not None:
@@ -402,12 +426,39 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
 
             return xz_decode_stream(ByteCursor(data))
 
-    # Pass 3: verify block checks in stream order.
+    # Pass 3: verify block checks in stream order. On the TPU engine, large
+    # CRC blocks are hashed on-device (ops/crc_device.py).
     for (block_start, check_off, out0, outn) in block_spans:
         chk = ByteCursor(data, check_off)
-        xz_fmt.validate_block_check(
-            chk, out[out0 : out0 + outn], header_flags.check_method
-        )
+        block_out = out[out0 : out0 + outn]
+        if (
+            engine == "tpu"
+            and outn >= (1 << 20)
+            and header_flags.check_method
+            in (xz_fmt.CHECK_CRC32, xz_fmt.CHECK_CRC64)
+        ):
+            from lzma_rs_tpu.ops import crc_device
+
+            if header_flags.check_method == xz_fmt.CHECK_CRC32:
+                expected = chk.read_u32_le()
+                digest = crc_device.crc32_device(block_out)
+                if expected != digest:
+                    raise XzError(
+                        f"Invalid block CRC32, expected 0x{expected:08x} "
+                        f"but got 0x{digest:08x}"
+                    )
+            else:
+                expected = int.from_bytes(chk.read_exact(8), "little")
+                digest = crc_device.crc64_device(block_out)
+                if expected != digest:
+                    raise XzError(
+                        f"Invalid block CRC64, expected 0x{expected:016x} "
+                        f"but got 0x{digest:016x}"
+                    )
+        else:
+            xz_fmt.validate_block_check(
+                chk, block_out, header_flags.check_method
+            )
 
     xz_fmt.check_footer(cursor, header_flags, index_size)
     return out
