@@ -28,7 +28,7 @@ class NativeLib:
         lib.lrt_crc64_update.restype = ctypes.c_uint64
         lib.lrt_crc64_update.argtypes = [
             ctypes.c_uint64,
-            ctypes.c_char_p,
+            ctypes.c_void_p,
             ctypes.c_size_t,
         ]
 
@@ -95,8 +95,15 @@ class NativeLib:
             ctypes.c_char_p,
         ]
 
-    def crc64_update(self, data: bytes, crc: int) -> int:
-        return self._lib.lrt_crc64_update(ctypes.c_uint64(crc), data, len(data))
+    def crc64_update(self, data, crc: int) -> int:
+        """data: bytes or a numpy uint8 array (zero-copy)."""
+        import numpy as _np
+
+        if not isinstance(data, _np.ndarray):
+            data = _np.frombuffer(data, dtype=_np.uint8)
+        return self._lib.lrt_crc64_update(
+            ctypes.c_uint64(crc), data.ctypes.data, data.size
+        )
 
     def _take(self, buf, n) -> bytes:
         try:

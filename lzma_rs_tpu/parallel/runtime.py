@@ -426,11 +426,16 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
 
             return xz_decode_stream(ByteCursor(data))
 
-    # Pass 3: verify block checks in stream order. On the TPU engine, large
-    # CRC blocks are hashed on-device (ops/crc_device.py).
-    for (block_start, check_off, out0, outn) in block_spans:
+    # Pass 3: verify block checks. Stream order for error determinism; the
+    # hashing itself fans out across a small thread pool (zlib / native
+    # crc64 release the GIL). On the TPU engine, large CRC blocks are
+    # hashed on-device (ops/crc_device.py).
+    outv = memoryview(out)
+
+    def check_one(span):
+        block_start, check_off, out0, outn = span
         chk = ByteCursor(data, check_off)
-        block_out = out[out0 : out0 + outn]
+        block_out = outv[out0 : out0 + outn]
         if (
             engine == "tpu"
             and outn >= (1 << 20)
@@ -441,7 +446,7 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
 
             if header_flags.check_method == xz_fmt.CHECK_CRC32:
                 expected = chk.read_u32_le()
-                digest = crc_device.crc32_device(block_out)
+                digest = crc_device.crc32_device(bytes(block_out))
                 if expected != digest:
                     raise XzError(
                         f"Invalid block CRC32, expected 0x{expected:08x} "
@@ -449,7 +454,7 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
                     )
             else:
                 expected = int.from_bytes(chk.read_exact(8), "little")
-                digest = crc_device.crc64_device(block_out)
+                digest = crc_device.crc64_device(bytes(block_out))
                 if expected != digest:
                     raise XzError(
                         f"Invalid block CRC64, expected 0x{expected:016x} "
@@ -459,6 +464,18 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
             xz_fmt.validate_block_check(
                 chk, block_out, header_flags.check_method
             )
+
+    if len(block_spans) > 1 and engine != "tpu":
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
+            futures = [pool.submit(check_one, s) for s in block_spans]
+            for f in futures:  # stream order preserved for first error
+                f.result()
+    else:
+        for span in block_spans:
+            check_one(span)
 
     xz_fmt.check_footer(cursor, header_flags, index_size)
     return out

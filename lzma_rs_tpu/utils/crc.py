@@ -45,7 +45,8 @@ _T = [_CRC64_TABLES[i] for i in range(8)]
 
 def crc32(data: bytes | bytearray | memoryview, value: int = 0) -> int:
     """CRC-32/ISO-HDLC over ``data`` (matches the reference's CRC32)."""
-    return zlib.crc32(bytes(data), value) & 0xFFFFFFFF
+    # zlib accepts any buffer; avoid copying large block slices
+    return zlib.crc32(data, value) & 0xFFFFFFFF
 
 
 class Crc32Digest:
@@ -94,14 +95,16 @@ def _crc64_numpy(data: np.ndarray, crc: int) -> int:
 
 
 def crc64(data: bytes | bytearray | memoryview, value: int = 0) -> int:
-    """CRC-64/XZ over ``data`` (matches the reference's CRC64)."""
+    """CRC-64/XZ over ``data`` (matches the reference's CRC64).
+
+    Zero-copy for bytearray/memoryview inputs (block-check verification
+    hashes large slices of the shared output buffer)."""
     native = _native_crc64()
-    buf = bytes(data)
     crc = value ^ 0xFFFFFFFFFFFFFFFF
+    arr = np.frombuffer(data, dtype=np.uint8)
     if native is not None:
-        crc = native(buf, crc)
+        crc = native(arr, crc)
     else:
-        arr = np.frombuffer(buf, dtype=np.uint8)
         crc = _crc64_numpy(arr, crc)
     return crc ^ 0xFFFFFFFFFFFFFFFF
 
