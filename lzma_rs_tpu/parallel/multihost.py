@@ -107,26 +107,47 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
     flags, spans, total_out = scan_blocks(data)
     owner = assign_blocks(spans, n_hosts)
 
-    # Decode the local subset into the (zeroed) full-size buffer.
-    local = np.zeros(total_out, dtype=np.uint8)
-    for s, own in zip(spans, owner):
-        if own != host:
-            continue
+    # Each host packs its owned blocks densely (in stream order); the
+    # all-gather then moves ~total bytes over DCN instead of
+    # n_hosts x total zero-padded buffers. Placement is derived from the
+    # shared plan, so reassembly needs no extra metadata exchange.
+    import os
+
+    threads = max(1, (os.cpu_count() or 1) // n_hosts) if n_hosts > 1 else None
+    owned = [s for s, o in zip(spans, owner) if o == host]
+    owned_len = sum(s.out_len for s in owned)
+    max_owned = max(
+        (sum(s.out_len for s, o in zip(spans, owner) if o == h) for h in range(n_hosts)),
+        default=0,
+    )
+    local = np.zeros(max_owned, dtype=np.uint8)
+    off = 0
+    for s in owned:
         plan, _ = rt.plan_lzma2_stream(data, s.payload_start, 0)
         if engine == "native":
-            out = rt.execute_plan_native(data, [plan])
+            out = rt.execute_plan_native(data, [plan], threads=threads)
         else:
             out = rt.execute_plan(data, [plan])
-        local[s.out_base : s.out_base + s.out_len] = np.frombuffer(
-            out, dtype=np.uint8
-        )
+        local[off : off + s.out_len] = np.frombuffer(out, dtype=np.uint8)
+        off += s.out_len
+    assert off == owned_len
 
-    # One all-gather over DCN; each host's buffer is zero outside its own
-    # blocks, so an elementwise max reconstructs the full stream in order.
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(local)
-    full = np.max(gathered.reshape(n_hosts, -1), axis=0).astype(np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(local)).reshape(
+        n_hosts, -1
+    )
+
+    # Stitch: walk spans in stream order, consuming each owner's dense
+    # buffer sequentially (assignment order == stream order per owner).
+    full = np.zeros(total_out, dtype=np.uint8)
+    cursors = [0] * n_hosts
+    for s, own in zip(spans, owner):
+        c = cursors[own]
+        full[s.out_base : s.out_base + s.out_len] = gathered[
+            own, c : c + s.out_len
+        ]
+        cursors[own] = c + s.out_len
 
     # Every host verifies checks + index + footer on the assembled result.
     for s in spans:
