@@ -41,6 +41,17 @@ def lzma_decode(data: bytes, options: Options) -> bytes:
     cursor = ByteCursor(data)
     params = read_header(cursor, options)
     backend = _backend()
+    if backend == "tpu":
+        p = params.properties
+        if (
+            params.unpacked_size is not None
+            and p.lc + p.lp <= 4
+            and options.memlimit is None
+        ):
+            from lzma_rs_tpu.parallel import runtime
+
+            return runtime.lzma_raw_decode_device(data, cursor.pos, params)
+        # unknown size / big literal context / memlimit: host engines below
     if backend in ("auto", "native"):
         lib = _native()
         if lib is not None:

@@ -350,6 +350,39 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
         return _host_lzma2(data)
 
 
+def lzma_raw_decode_device(data: bytes, payload_off: int, params) -> bytes:
+    """Raw LZMA decode on the device kernel (one lane, one chunk).
+
+    Requires a known unpacked size (the flat output must be preallocated);
+    unknown-size streams go through the host engines. ``lc+lp`` beyond the
+    lane layout's 4 bits also falls back (raw LZMA allows lc<=8).
+    """
+    p = params.properties
+    if params.unpacked_size is None or p.lc + p.lp > 4:
+        raise ValueError("device path needs known size and lc+lp <= 4")
+    total_out = int(params.unpacked_size)
+    lane = LanePlan(
+        in_start=[payload_off],
+        in_end=[len(data)],
+        out_start=[0],
+        out_end=[total_out],
+        reset_state=[1],
+        lc=[p.lc], lp=[p.lp], pb=[p.pb],
+        seg_base=0,
+        size_known=1,
+        dict_size=min(params.dict_size, 0xFFFFFFFF),
+    )
+    plan = DecodePlan(lanes=[lane], prefill=[], total_out=total_out)
+    try:
+        return execute_plan(data, [plan])
+    except _KernelError:
+        # host replay for the exact reference error
+        from lzma_rs_tpu.models.codecs import LzmaDecoder
+
+        cursor = ByteCursor(data, payload_off)
+        return LzmaDecoder(params, None).decompress(cursor)
+
+
 def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
     """Parallel `.xz` decode: all blocks' segments in one launch.
 
