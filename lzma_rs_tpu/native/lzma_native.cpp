@@ -703,7 +703,7 @@ bool lzma2_decode_impl(const uint8_t* data, size_t n, size_t start,
                     " uncompressed bytes: " + kEofMsg};
         return false;
       }
-      for (size_t i = 0; i < unpacked; i++) accum.buf.push_back(data[pos + i]);
+      accum.buf.insert(accum.buf.end(), data + pos, data + pos + unpacked);
       accum.len += unpacked;
       pos += unpacked;
       continue;
