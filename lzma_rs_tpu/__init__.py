@@ -108,11 +108,19 @@ def lzma2_decompress(
     return _emit(backends.lzma2_decode(_as_bytes(input)), output)
 
 
-def lzma2_compress(input: _Input, output: Optional[BinaryIO] = None) -> Optional[bytes]:
-    """Compress data as an LZMA2 chunk stream (src/lib.rs:91-97)."""
+def lzma2_compress(
+    input: _Input,
+    output: Optional[BinaryIO] = None,
+    *,
+    level: Optional[int] = 6,
+) -> Optional[bytes]:
+    """Compress data as an LZMA2 chunk stream (src/lib.rs:91-97).
+
+    ``level`` 1-9 = real compression (beyond the reference's
+    uncompressed-chunk writer); 0/None = stored chunks."""
     from lzma_rs_tpu.encode.lzma2_enc import lzma2_compress as _enc
 
-    return _emit(_enc(_as_bytes(input)), output)
+    return _emit(_enc(_as_bytes(input), level), output)
 
 
 # ---------------------------------------------------------------------------
@@ -133,17 +141,20 @@ def xz_compress(
     *,
     block_size: Optional[int] = None,
     check_method: int = 0,
+    level: Optional[int] = 6,
 ) -> Optional[bytes]:
     """Compress data into a `.xz` stream (src/lib.rs:108-110).
 
     Extensions over the reference's one-block writer: ``block_size`` splits
     the input into independent blocks (block-parallel encode/decode) and
     ``check_method`` selects the per-block integrity check (0=None,
-    1=CRC32, 4=CRC64)."""
+    1=CRC32, 4=CRC64), and ``level`` picks real compression (1-9, native
+    greedy encoder) or stored chunks (0/None, the reference's writer)."""
     from lzma_rs_tpu.encode.xz_enc import xz_compress as _enc
 
     return _emit(
-        _enc(_as_bytes(input), block_size=block_size, check_method=check_method),
+        _enc(_as_bytes(input), block_size=block_size,
+             check_method=check_method, level=level),
         output,
     )
 

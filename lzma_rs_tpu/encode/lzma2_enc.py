@@ -1,18 +1,28 @@
-"""LZMA2 encoder: uncompressed chunks.
+"""LZMA2 encoder.
 
-Capability mirror of ``/root/reference/src/encode/lzma2.rs:4-26``: the input
-is cut into <=64 KiB chunks, each written as control byte ``0x01``
-(uncompressed + dict reset) + ``(n-1)`` as u16 BE + raw bytes, terminated by
-``0x00``. Because every chunk resets the dictionary, the output is embar-
-rassingly parallel to both produce and decode.
+Two modes:
+
+- ``level=0`` / no native library: uncompressed chunks only — the exact
+  capability mirror of the reference encoder
+  (``/root/reference/src/encode/lzma2.rs:4-26``): <=64 KiB chunks, control
+  ``0x01`` (uncompressed + dict reset), ``(n-1)`` u16 BE, raw bytes,
+  ``0x00`` terminator.
+- ``level>=1`` (default 6): real compression via the native greedy
+  hash-chain LZMA encoder — 64 KiB chunks, dictionary carried across
+  chunks, state/props reset per chunk, stored-chunk fallback for
+  incompressible data. Output is accepted by liblzma, the reference, and
+  all of our engines. This exceeds the reference's capability floor.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 CHUNK = 0x10000
+DEFAULT_LEVEL = 6
 
 
-def lzma2_compress(data: bytes) -> bytes:
+def _store(data: bytes) -> bytes:
     out = bytearray()
     for off in range(0, len(data), CHUNK):
         piece = data[off : off + CHUNK]
@@ -21,3 +31,17 @@ def lzma2_compress(data: bytes) -> bytes:
         out += piece
     out.append(0)
     return bytes(out)
+
+
+def lzma2_compress(data: bytes, level: Optional[int] = DEFAULT_LEVEL) -> bytes:
+    data = bytes(data)
+    if level:
+        try:
+            from lzma_rs_tpu.native import loader
+
+            lib = loader.load()
+        except Exception:
+            lib = None
+        if lib is not None:
+            return lib.lzma2_compress(data, int(level))
+    return _store(data)

@@ -24,7 +24,11 @@ def xz_compress(
     data: bytes,
     block_size: int | None = None,
     check_method: int = xz_fmt.CHECK_NONE,
+    level: int | None = 6,
 ) -> bytes:
+    """``level`` 1-9 = real compression (native greedy encoder, dictionary
+    per block so blocks stay independently decodable); 0/None = stored
+    chunks (reference-parity writer, maximally parallel)."""
     block_size = block_size or DEFAULT_BLOCK_SIZE
     flags = xz_fmt.StreamFlags(check_method=check_method)
     writer = ByteWriter()
@@ -32,14 +36,14 @@ def xz_compress(
 
     records = []
     if len(data) == 0:
-        payload = lzma2_compress(b"")
+        payload = lzma2_compress(b"", level)
         records.append(
             xz_fmt.write_block(writer, payload, b"", check_method=check_method)
         )
     else:
         for off in range(0, len(data), block_size):
             raw = data[off : off + block_size]
-            payload = lzma2_compress(raw)
+            payload = lzma2_compress(raw, level)
             records.append(
                 xz_fmt.write_block(writer, payload, raw, check_method=check_method)
             )

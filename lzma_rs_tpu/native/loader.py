@@ -74,6 +74,15 @@ class NativeLib:
                 ("pb", ctypes.c_int32),
             ]
 
+        lib.lrt_lzma2_compress.restype = ctypes.c_int
+        lib.lrt_lzma2_compress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+
         lib.lrt_lzma_encode_body.restype = ctypes.c_int
         lib.lrt_lzma_encode_body.argtypes = [
             ctypes.c_char_p,
@@ -145,6 +154,14 @@ class NativeLib:
     def lzma2_decode(self, data: bytes) -> bytes:
         out, _ = self.lzma2_decode_at(data, 0)
         return out
+
+    def lzma2_compress(self, data: bytes, level: int) -> bytes:
+        buf = ctypes.c_void_p()
+        n = ctypes.c_size_t()
+        self._lib.lrt_lzma2_compress(
+            data, len(data), level, ctypes.byref(buf), ctypes.byref(n)
+        )
+        return self._take(buf, n)
 
     def lzma_encode_body(self, data: bytes, write_eos: bool) -> bytes:
         buf = ctypes.c_void_p()

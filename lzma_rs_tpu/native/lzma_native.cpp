@@ -874,6 +874,25 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
   return 0;
 }
 
+// Real LZMA2 compression (greedy match-finding). level 1..9 maps to match
+// finder depth. Output is a complete LZMA2 chunk stream (0x00-terminated).
+static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
+                                 int first_block, std::string& out);
+
+int lrt_lzma2_compress(const char* data, size_t n, int level, void** out_buf,
+                       size_t* out_len) {
+  int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 128;
+  std::string out;
+  out.reserve(n / 3 + 64);
+  if (n > 0)
+    lzma2_compress_block(reinterpret_cast<const uint8_t*>(data), n, depth,
+                         /*first_block=*/1, out);
+  out.push_back('\0');
+  *out_buf = dup_out(out);
+  *out_len = out.size();
+  return 0;
+}
+
 // One-shot LZMA2 decode from `start`. Returns consumed byte count.
 int lrt_lzma2_decode(const char* data, size_t n, size_t start, void** out_buf,
                      size_t* out_len, size_t* consumed, char* err_buf) {
@@ -890,6 +909,332 @@ int lrt_lzma2_decode(const char* data, size_t n, size_t start, void** out_buf,
   *out_buf = dup_out(accum.out);
   *out_len = accum.out.size();
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Real LZMA encoder: greedy hash-chain match finder + full symbol coding
+// (matches, rep matches, short rep, matched literals). This goes beyond the
+// reference's literal-only "dumb" encoder (encode/dumbencoder.rs) — it is
+// the encode-side mirror of the decoder state machine above, producing
+// streams our decoder, the reference, and liblzma all accept.
+// ---------------------------------------------------------------------------
+
+struct LzmaEncoder {
+  RangeEncoder rc;
+  Layout layout;
+  std::vector<uint16_t> probs;
+  int lc, lp, pb;
+  int state = 0;
+  uint32_t rep[4] = {0, 0, 0, 0};
+
+  LzmaEncoder(int lc_, int lp_, int pb_)
+      : layout(lc_ + lp_), lc(lc_), lp(lp_), pb(pb_) {
+    probs.assign(layout.total, 0x400);
+  }
+
+  inline void bit(size_t idx, int b) { rc.encode_bit(&probs[idx], b); }
+
+  inline void tree(int nbits, size_t base, uint32_t value) {
+    uint32_t tmp = 1;
+    for (int i = nbits - 1; i >= 0; i--) {
+      int b = (value >> i) & 1;
+      rc.encode_bit(&probs[base + tmp], b);
+      tmp = (tmp << 1) ^ uint32_t(b);
+    }
+  }
+
+  inline void rtree(int nbits, size_t base, uint32_t value) {
+    uint32_t tmp = 1;
+    for (int i = 0; i < nbits; i++) {
+      int b = (value >> i) & 1;
+      rc.encode_bit(&probs[base + tmp], b);
+      tmp = (tmp << 1) ^ uint32_t(b);
+    }
+  }
+
+  inline void direct(uint32_t value, int nbits) {
+    for (int i = nbits - 1; i >= 0; i--) {
+      rc.range >>= 1;
+      if ((value >> i) & 1) rc.low += rc.range;
+      while (rc.range < 0x01000000u) {
+        rc.range <<= 8;
+        rc.write_low();
+      }
+    }
+  }
+
+  void encode_len(size_t base, size_t pos_state, uint32_t lval) {
+    // lval in 0..271 (match length - 2), rangecoder.rs:253-269 mirror
+    if (lval < 8) {
+      rc.encode_bit(&probs[base + kLenChoice], 0);
+      tree(3, base + kLenLow + pos_state * 8, lval);
+    } else if (lval < 16) {
+      rc.encode_bit(&probs[base + kLenChoice], 1);
+      rc.encode_bit(&probs[base + kLenChoice2], 0);
+      tree(3, base + kLenMid + pos_state * 8, lval - 8);
+    } else {
+      rc.encode_bit(&probs[base + kLenChoice], 1);
+      rc.encode_bit(&probs[base + kLenChoice2], 1);
+      tree(8, base + kLenHigh, lval - 16);
+    }
+  }
+
+  void encode_distance(uint32_t len, uint32_t dist_field) {
+    size_t len_state = len > 3 ? 3 : len;  // len = length value (0-based)
+    uint32_t slot;
+    if (dist_field < 4) {
+      slot = dist_field;
+    } else {
+      int nb = 32 - __builtin_clz(dist_field);
+      slot = uint32_t((nb - 1) * 2 + ((dist_field >> (nb - 2)) & 1));
+    }
+    tree(6, layout.pos_slot + len_state * 64, slot);
+    if (slot < 4) return;
+    int ndirect = int(slot >> 1) - 1;
+    uint32_t base = (2 | (slot & 1)) << ndirect;
+    uint32_t rest = dist_field - base;
+    if (slot < 14) {
+      // decoder reads spec_pos with offset (base - slot)
+      // (lzma.rs:579-585); beware unsigned underflow when base == slot
+      rtree(ndirect, layout.spec_pos + size_t(base - slot), rest);
+    } else {
+      direct(rest >> 4, ndirect - 4);
+      rtree(4, layout.align, rest & 0xF);
+    }
+  }
+
+  void literal(const uint8_t* block, size_t pos, size_t block_pos) {
+    // mirror of decode_literal (lzma.rs:526-561); block_pos = position
+    // since dict reset (drives pos_state / literal position context)
+    uint8_t byte = block[pos];
+    uint8_t prev = pos > 0 ? block[pos - 1] : 0;
+    size_t lit_state =
+        ((block_pos & ((size_t(1) << lp) - 1)) << lc) + (prev >> (8 - lc));
+    uint16_t* p = &probs[layout.lit + lit_state * 0x300];
+    unsigned result = 1;
+    int i = 7;
+    if (state >= 7) {
+      unsigned match_byte = block[pos - rep[0] - 1];
+      for (; i >= 0; i--) {
+        unsigned match_bit = (match_byte >> 7) & 1;
+        match_byte = (match_byte << 1) & 0xFF;
+        int b = (byte >> i) & 1;
+        rc.encode_bit(&p[((1 + match_bit) << 8) + result], b);
+        result = (result << 1) ^ unsigned(b);
+        if (int(match_bit) != b) {
+          i--;
+          break;
+        }
+      }
+    }
+    for (; i >= 0; i--) {
+      int b = (byte >> i) & 1;
+      rc.encode_bit(&p[result], b);
+      result = (result << 1) ^ unsigned(b);
+    }
+  }
+};
+
+// Greedy hash-chain match finder (hash of 4 bytes).
+struct MatchFinder {
+  const uint8_t* data;
+  size_t n;
+  std::vector<int32_t> head;   // hash -> most recent pos
+  std::vector<int32_t> chain;  // pos -> previous pos with same hash
+  int depth;
+  static constexpr int kHashBits = 17;
+
+  MatchFinder(const uint8_t* d, size_t n_, int depth_)
+      : data(d), n(n_), head(size_t(1) << kHashBits, -1), chain(n_, -1),
+        depth(depth_) {}
+
+  static inline uint32_t hash4(const uint8_t* p) {
+    uint32_t x;
+    memcpy(&x, p, 4);
+    return (x * 2654435761u) >> (32 - kHashBits);
+  }
+
+  inline void insert(size_t pos) {
+    if (pos + 4 > n) return;
+    uint32_t h = hash4(data + pos);
+    chain[pos] = head[h];
+    head[h] = int32_t(pos);
+  }
+
+  // Longest match at pos with distance <= max_dist; returns (len, dist).
+  inline std::pair<uint32_t, uint32_t> find(size_t pos, size_t max_dist,
+                                            size_t limit) const {
+    uint32_t best_len = 0, best_dist = 0;
+    if (pos + 4 > n) return {0, 0};
+    int32_t cand = head[hash4(data + pos)];
+    int tries = depth;
+    const uint8_t* cur = data + pos;
+    while (cand >= 0 && tries-- > 0) {
+      size_t dist = pos - size_t(cand);
+      if (dist > max_dist) break;  // chain is position-ordered
+      const uint8_t* q = data + cand;
+      if (q[best_len] == cur[best_len]) {
+        size_t l = 0;
+        while (l < limit && q[l] == cur[l]) l++;
+        if (l > best_len) {
+          best_len = uint32_t(l);
+          best_dist = uint32_t(dist);
+          if (l >= limit) break;
+        }
+      }
+      cand = chain[cand];
+    }
+    return {best_len, best_dist};
+  }
+};
+
+constexpr uint32_t kMaxMatchLen = 273;
+
+// Encode block[start..end) as one LZMA chunk payload. `block` begins at the
+// dict-reset point (positions are block-relative). Probs/state are fresh
+// per chunk (LZMA2 reset_mode 2); the window spans the whole block so
+// matches reach across earlier chunks.
+static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
+                                     size_t end, MatchFinder& mf, int lc,
+                                     int lp, int pb) {
+  LzmaEncoder enc(lc, lp, pb);
+  size_t pos = start;
+  while (pos < end) {
+    size_t pos_state = pos & ((size_t(1) << pb) - 1);
+    size_t limit = end - pos;
+    if (limit > kMaxMatchLen) limit = kMaxMatchLen;
+    size_t max_dist = pos;  // window = block start .. pos
+
+    // rep candidates
+    uint32_t rep_len[4] = {0, 0, 0, 0};
+    for (int r = 0; r < 4; r++) {
+      size_t dist = size_t(enc.rep[r]) + 1;
+      if (dist > max_dist) continue;
+      const uint8_t* q = block + pos - dist;
+      size_t l = 0;
+      while (l < limit && q[l] == block[pos + l]) l++;
+      rep_len[r] = uint32_t(l);
+    }
+    // normal match
+    auto [m_len, m_dist] = pos + 4 <= end ? mf.find(pos, max_dist, limit)
+                                          : std::pair<uint32_t, uint32_t>{0, 0};
+
+    int best_rep = -1;
+    uint32_t best_rep_len = 0;
+    for (int r = 0; r < 4; r++)
+      if (rep_len[r] > best_rep_len) {
+        best_rep_len = rep_len[r];
+        best_rep = r;
+      }
+
+    // Heuristics (greedy): a rep match of length l beats a normal match
+    // unless the normal one is at least 2 longer; min normal len 3 (or 2
+    // for very near distances).
+    bool use_rep = best_rep_len >= 2 && best_rep_len + 1 >= m_len;
+    bool use_match =
+        !use_rep && m_len >= 3 && !(m_len == 3 && m_dist > (1u << 16));
+
+    if (use_rep) {
+      uint32_t len = best_rep_len;
+      enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
+      enc.bit(enc.layout.is_rep + enc.state, 1);
+      if (best_rep == 0) {
+        enc.bit(enc.layout.is_rep_g0 + enc.state, 0);
+        enc.bit(enc.layout.is_rep_0long + (size_t(enc.state) << 4) + pos_state,
+                1);
+      } else {
+        enc.bit(enc.layout.is_rep_g0 + enc.state, 1);
+        if (best_rep == 1) {
+          enc.bit(enc.layout.is_rep_g1 + enc.state, 0);
+        } else {
+          enc.bit(enc.layout.is_rep_g1 + enc.state, 1);
+          enc.bit(enc.layout.is_rep_g2 + enc.state, best_rep == 3);
+        }
+        uint32_t d = enc.rep[best_rep];
+        for (int i = best_rep - 1; i >= 0; i--) enc.rep[i + 1] = enc.rep[i];
+        enc.rep[0] = d;
+      }
+      enc.encode_len(enc.layout.rep_len_coder, pos_state, len - 2);
+      enc.state = enc.state < 7 ? 8 : 11;
+      for (uint32_t i = 0; i < len; i++) mf.insert(pos + i);
+      pos += len;
+    } else if (use_match) {
+      enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
+      enc.bit(enc.layout.is_rep + enc.state, 0);
+      enc.rep[3] = enc.rep[2];
+      enc.rep[2] = enc.rep[1];
+      enc.rep[1] = enc.rep[0];
+      enc.rep[0] = m_dist - 1;
+      uint32_t lval = m_len - 2;
+      enc.encode_len(enc.layout.len_coder, pos_state, lval);
+      enc.state = enc.state < 7 ? 7 : 10;
+      enc.encode_distance(lval, m_dist - 1);
+      for (uint32_t i = 0; i < m_len; i++) mf.insert(pos + i);
+      pos += m_len;
+    } else if (best_rep == 0 && rep_len[0] >= 1 && m_len < 2) {
+      // short rep (len 1)
+      enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
+      enc.bit(enc.layout.is_rep + enc.state, 1);
+      enc.bit(enc.layout.is_rep_g0 + enc.state, 0);
+      enc.bit(enc.layout.is_rep_0long + (size_t(enc.state) << 4) + pos_state,
+              0);
+      enc.state = enc.state < 7 ? 9 : 11;
+      mf.insert(pos);
+      pos += 1;
+    } else {
+      enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 0);
+      enc.literal(block, pos, pos);
+      enc.state = enc.state < 4 ? 0 : (enc.state < 10 ? enc.state - 3
+                                                      : enc.state - 6);
+      mf.insert(pos);
+      pos += 1;
+    }
+  }
+  enc.rc.finish();
+  return std::move(enc.rc.out);
+}
+
+// Compress one dict region (block) into an LZMA2 chunk stream (no 0x00
+// terminator — the caller concatenates blocks and terminates). Chunks are
+// 64 KiB unpacked, dict carried across chunks (matches reach the whole
+// block), probs/state/props reset per chunk (reset_mode 2) so chunk
+// encoding needs no cross-chunk range-coder state. Chunks that don't
+// compress are stored (control 1/2), exactly like liblzma's fallback.
+static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
+                                 int first_block, std::string& out) {
+  constexpr size_t kChunk = 65536;
+  MatchFinder mf(data, n, depth);
+  size_t pos = 0;
+  bool first_chunk = true;
+  while (pos < n) {
+    size_t end = pos + kChunk < n ? pos + kChunk : n;
+    size_t unpacked = end - pos;
+    std::string payload =
+        encode_lzma_chunk(data, pos, end, mf, /*lc=*/3, /*lp=*/0, /*pb=*/2);
+    bool reset_dict = first_block && first_chunk;
+    if (payload.size() + 6 < unpacked && payload.size() <= 65536) {
+      // control: 0x80 | reset_mode<<5 | unpacked-high-bits
+      int reset_mode = reset_dict ? 3 : 2;
+      uint32_t usz = uint32_t(unpacked - 1);
+      out.push_back(char(0x80 | (reset_mode << 5) | int(usz >> 16)));
+      out.push_back(char((usz >> 8) & 0xFF));
+      out.push_back(char(usz & 0xFF));
+      uint32_t psz = uint32_t(payload.size() - 1);
+      out.push_back(char((psz >> 8) & 0xFF));
+      out.push_back(char(psz & 0xFF));
+      out.push_back(char(3 + 9 * (0 + 5 * 2)));  // props lc=3 lp=0 pb=2
+      out += payload;
+    } else {
+      // store: positions were already inserted during the trial encode
+      out.push_back(char(reset_dict ? 1 : 2));
+      uint32_t usz = uint32_t(unpacked - 1);
+      out.push_back(char((usz >> 8) & 0xFF));
+      out.push_back(char(usz & 0xFF));
+      out.append(reinterpret_cast<const char*>(data + pos), unpacked);
+    }
+    first_chunk = false;
+    pos = end;
+  }
 }
 
 // Literal-only LZMA encode body (mirror of encode/dumbencoder.rs:64-123):

@@ -224,6 +224,11 @@ def _mat_compose_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _jitted_crc_matmul(width: int, L: int):
+    """Device part only: bit-unpack + one int8 MXU matmul + parity pack.
+
+    The log-tree fold over per-chunk registers runs on the host (numpy) —
+    it is O(width * L) trivial work and would otherwise dominate compile
+    time of the device graph."""
     import jax
     import jax.numpy as jnp
 
@@ -252,15 +257,29 @@ def _jitted_crc_matmul(width: int, L: int):
         for k in range(min(width, 32)):
             lo = lo | (parity[:, k] << k)
         if width == 32:
-            lo, _ = _tree_combine(lo, None, poly, width, CHUNK)
-            return lo[0]
+            return lo
         hi = jnp.zeros((L,), jnp.uint32)
         for k in range(32, 64):
             hi = hi | (parity[:, k] << (k - 32))
-        lo, hi = _tree_combine(lo, hi, poly, width, CHUNK)
-        return lo[0], hi[0]
+        return lo, hi
 
     return jax.jit(fn)
+
+
+def _tree_combine_host(regs: np.ndarray, poly: int, width: int, chunk_len: int) -> int:
+    """Host log-tree fold of per-chunk raw registers (stream order)."""
+    vals = regs.astype(np.uint64)
+    level_len = chunk_len
+    while vals.size > 1:
+        cols = np.array(zero_advance_matrix(poly, width, level_len), dtype=np.uint64)
+        left, right = vals[0::2], vals[1::2]
+        acc = right.copy()
+        for i in range(width):
+            mask = ((left >> np.uint64(i)) & np.uint64(1)).astype(bool)
+            acc[mask] ^= cols[i]
+        vals = acc
+        level_len *= 2
+    return int(vals[0])
 
 
 @functools.lru_cache(maxsize=32)
@@ -302,10 +321,13 @@ def _device_raw(data: bytes, width: int) -> tuple:
         arr = np.frombuffer(seg, dtype=np.uint8).reshape(L, CHUNK)
         fn = _jitted_crc_matmul(width, L)
         if width == 32:
-            val = int(fn(jnp.asarray(arr)))
+            regs = np.asarray(fn(jnp.asarray(arr)), dtype=np.uint64)
         else:
             lo, hi = fn(jnp.asarray(arr))
-            val = int(lo) | (int(hi) << 32)
+            regs = np.asarray(lo, dtype=np.uint64) | (
+                np.asarray(hi, dtype=np.uint64) << np.uint64(32)
+            )
+        val = _tree_combine_host(regs, poly, width, CHUNK)
         raw = val if first else combine_raw(poly, width, raw, val, L * CHUNK)
         first = False
         pos += L * CHUNK

@@ -43,13 +43,25 @@ class TestStats:
         from lzma_rs_tpu.utils import stats
 
         data = read_ref("foo.txt")
-        c = lzma_rs_tpu.xz_compress(data, block_size=1 << 15)
+        c = lzma_rs_tpu.xz_compress(data, block_size=1 << 15, level=0)
         with stats.collect() as s:
             assert lzma_rs_tpu.xz_decompress(c) == data
         d = s.to_dict()
         assert d["unpacked_bytes"] == len(data)
         assert d["engine"] in ("native", "tpu", "")
-        assert d["prefill_bytes"] == len(data)  # our writer: all uncompressed
+        assert d["prefill_bytes"] == len(data)  # store mode: all uncompressed
+
+    def test_collect_compressed(self):
+        from lzma_rs_tpu.utils import stats
+
+        data = read_ref("foo.txt")
+        c = lzma_rs_tpu.xz_compress(data, block_size=1 << 15, level=6)
+        assert len(c) < len(data) // 2  # real compression
+        with stats.collect() as s:
+            assert lzma_rs_tpu.xz_decompress(c) == data
+        d = s.to_dict()
+        assert d["unpacked_bytes"] == len(data)
+        assert d["lanes"] >= 1 and d["chunks"] >= 1
 
 
 class TestSha256Check:
