@@ -41,9 +41,25 @@ def xz_compress(
             xz_fmt.write_block(writer, payload, b"", check_method=check_method)
         )
     else:
-        for off in range(0, len(data), block_size):
-            raw = data[off : off + block_size]
-            payload = lzma2_compress(raw, level)
+        blocks = [
+            data[off : off + block_size]
+            for off in range(0, len(data), block_size)
+        ]
+        if len(blocks) > 1:
+            # blocks are independent: compress them across host cores (the
+            # native encoder releases the GIL)
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 1)
+            ) as pool:
+                payloads = list(
+                    pool.map(lambda b: lzma2_compress(b, level), blocks)
+                )
+        else:
+            payloads = [lzma2_compress(blocks[0], level)]
+        for raw, payload in zip(blocks, payloads):
             records.append(
                 xz_fmt.write_block(writer, payload, raw, check_method=check_method)
             )
