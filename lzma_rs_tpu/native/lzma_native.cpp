@@ -1089,21 +1089,28 @@ struct MatchFinder {
 };
 
 constexpr uint32_t kMaxMatchLen = 273;
+// Declared LZMA2 dictionary size (matches the .xz filter props byte 22 ->
+// 8 MiB); encoder distances must respect it or strict decoders (liblzma)
+// reject the stream.
+constexpr size_t kEncDictSize = size_t(1) << 23;
 
-// Encode block[start..end) as one LZMA chunk payload. `block` begins at the
-// dict-reset point (positions are block-relative). Probs/state are fresh
-// per chunk (LZMA2 reset_mode 2); the window spans the whole block so
-// matches reach across earlier chunks.
+// Encode block[start..end) as one LZMA chunk payload. `block` begins at
+// the dict-reset point (positions are block-relative). The encoder state
+// (probs/state/reps) persists across chunks of a block (LZMA2 reset_mode
+// 0 continuation); only the range coder restarts per chunk. Greedy parse
+// with one-position lazy lookahead.
 static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
-                                     size_t end, MatchFinder& mf, int lc,
-                                     int lp, int pb) {
-  LzmaEncoder enc(lc, lp, pb);
+                                     size_t end, MatchFinder& mf,
+                                     LzmaEncoder& enc) {
+  enc.rc = RangeEncoder();
+  const int pb = enc.pb;
   size_t pos = start;
   while (pos < end) {
     size_t pos_state = pos & ((size_t(1) << pb) - 1);
     size_t limit = end - pos;
     if (limit > kMaxMatchLen) limit = kMaxMatchLen;
-    size_t max_dist = pos;  // window = block start .. pos
+    // window = block start .. pos, capped by the declared dict size
+    size_t max_dist = pos < kEncDictSize ? pos : kEncDictSize;
 
     // rep candidates
     uint32_t rep_len[4] = {0, 0, 0, 0};
@@ -1115,9 +1122,11 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       while (l < limit && q[l] == block[pos + l]) l++;
       rep_len[r] = uint32_t(l);
     }
-    // normal match
+    // normal match (search BEFORE inserting pos — a self-match at
+    // distance 0 would read as the EOS marker)
     auto [m_len, m_dist] = pos + 4 <= end ? mf.find(pos, max_dist, limit)
                                           : std::pair<uint32_t, uint32_t>{0, 0};
+    mf.insert(pos);
 
     int best_rep = -1;
     uint32_t best_rep_len = 0;
@@ -1127,12 +1136,21 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
         best_rep = r;
       }
 
-    // Heuristics (greedy): a rep match of length l beats a normal match
-    // unless the normal one is at least 2 longer; min normal len 3 (or 2
-    // for very near distances).
+    // Greedy heuristics: a rep match beats a normal match unless the
+    // normal one is at least 2 longer; min normal len 3 unless near.
     bool use_rep = best_rep_len >= 2 && best_rep_len + 1 >= m_len;
     bool use_match =
         !use_rep && m_len >= 3 && !(m_len == 3 && m_dist > (1u << 16));
+
+    // Lazy lookahead: if the match at pos+1 is strictly longer, emit a
+    // literal now and take the longer match next iteration.
+    if (use_match && pos + 1 + 4 <= end && m_len < kMaxMatchLen) {
+      size_t lim2 = end - (pos + 1);
+      if (lim2 > kMaxMatchLen) lim2 = kMaxMatchLen;
+      auto [n_len, n_dist] = mf.find(pos + 1, max_dist + 1, lim2);
+      (void)n_dist;
+      if (n_len > m_len) use_match = false;
+    }
 
     if (use_rep) {
       uint32_t len = best_rep_len;
@@ -1156,7 +1174,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       }
       enc.encode_len(enc.layout.rep_len_coder, pos_state, len - 2);
       enc.state = enc.state < 7 ? 8 : 11;
-      for (uint32_t i = 0; i < len; i++) mf.insert(pos + i);
+      for (uint32_t i = 1; i < len; i++) mf.insert(pos + i);
       pos += len;
     } else if (use_match) {
       enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
@@ -1169,7 +1187,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       enc.encode_len(enc.layout.len_coder, pos_state, lval);
       enc.state = enc.state < 7 ? 7 : 10;
       enc.encode_distance(lval, m_dist - 1);
-      for (uint32_t i = 0; i < m_len; i++) mf.insert(pos + i);
+      for (uint32_t i = 1; i < m_len; i++) mf.insert(pos + i);
       pos += m_len;
     } else if (best_rep == 0 && rep_len[0] >= 1 && m_len < 2) {
       // short rep (len 1)
@@ -1179,14 +1197,12 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       enc.bit(enc.layout.is_rep_0long + (size_t(enc.state) << 4) + pos_state,
               0);
       enc.state = enc.state < 7 ? 9 : 11;
-      mf.insert(pos);
       pos += 1;
     } else {
       enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 0);
       enc.literal(block, pos, pos);
       enc.state = enc.state < 4 ? 0 : (enc.state < 10 ? enc.state - 3
                                                       : enc.state - 6);
-      mf.insert(pos);
       pos += 1;
     }
   }
@@ -1195,26 +1211,39 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
 }
 
 // Compress one dict region (block) into an LZMA2 chunk stream (no 0x00
-// terminator — the caller concatenates blocks and terminates). Chunks are
-// 64 KiB unpacked, dict carried across chunks (matches reach the whole
-// block), probs/state/props reset per chunk (reset_mode 2) so chunk
-// encoding needs no cross-chunk range-coder state. Chunks that don't
-// compress are stored (control 1/2), exactly like liblzma's fallback.
+// terminator). Chunks are 64 KiB unpacked with the dictionary AND the
+// probability model carried across chunks (reset_mode 0 continuation;
+// only the range coder restarts). Chunks that do not compress are stored
+// (control 1/2) with an encoder-state rollback, and the next compressed
+// chunk resets state (reset_mode 1) as the spec requires.
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, std::string& out) {
   constexpr size_t kChunk = 65536;
   MatchFinder mf(data, n, depth);
+  LzmaEncoder enc(3, 0, 2);
   size_t pos = 0;
-  bool first_chunk = true;
+  // 3 = dict+state+props (stream start), 2 = state+props reset, 1 = state
+  // reset (props already in effect), 0 = pure continuation.
+  int next_reset = first_block ? 3 : 0;
+  bool props_sent = false;
+  std::vector<uint16_t> probs_snap;
   while (pos < n) {
     size_t end = pos + kChunk < n ? pos + kChunk : n;
     size_t unpacked = end - pos;
-    std::string payload =
-        encode_lzma_chunk(data, pos, end, mf, /*lc=*/3, /*lp=*/0, /*pb=*/2);
-    bool reset_dict = first_block && first_chunk;
+
+    if (next_reset >= 1) {
+      enc.probs.assign(enc.layout.total, 0x400);
+      enc.state = 0;
+      enc.rep[0] = enc.rep[1] = enc.rep[2] = enc.rep[3] = 0;
+    }
+    // snapshot for stored-chunk rollback
+    probs_snap = enc.probs;
+    int state_snap = enc.state;
+    uint32_t rep_snap[4] = {enc.rep[0], enc.rep[1], enc.rep[2], enc.rep[3]};
+
+    std::string payload = encode_lzma_chunk(data, pos, end, mf, enc);
     if (payload.size() + 6 < unpacked && payload.size() <= 65536) {
-      // control: 0x80 | reset_mode<<5 | unpacked-high-bits
-      int reset_mode = reset_dict ? 3 : 2;
+      int reset_mode = next_reset;
       uint32_t usz = uint32_t(unpacked - 1);
       out.push_back(char(0x80 | (reset_mode << 5) | int(usz >> 16)));
       out.push_back(char((usz >> 8) & 0xFF));
@@ -1222,17 +1251,29 @@ static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
       uint32_t psz = uint32_t(payload.size() - 1);
       out.push_back(char((psz >> 8) & 0xFF));
       out.push_back(char(psz & 0xFF));
-      out.push_back(char(3 + 9 * (0 + 5 * 2)));  // props lc=3 lp=0 pb=2
+      if (reset_mode >= 2) {
+        out.push_back(char(3 + 9 * (0 + 5 * 2)));  // props lc=3 lp=0 pb=2
+        props_sent = true;
+      }
       out += payload;
+      next_reset = 0;
     } else {
-      // store: positions were already inserted during the trial encode
-      out.push_back(char(reset_dict ? 1 : 2));
+      // store; roll encoder state back (the decoder never saw the trial)
+      enc.probs = probs_snap;
+      enc.state = state_snap;
+      enc.rep[0] = rep_snap[0];
+      enc.rep[1] = rep_snap[1];
+      enc.rep[2] = rep_snap[2];
+      enc.rep[3] = rep_snap[3];
+      out.push_back(char(next_reset == 3 ? 1 : 2));
       uint32_t usz = uint32_t(unpacked - 1);
       out.push_back(char((usz >> 8) & 0xFF));
       out.push_back(char(usz & 0xFF));
       out.append(reinterpret_cast<const char*>(data + pos), unpacked);
+      // the spec requires the next LZMA chunk to reset state; props must
+      // be (re)sent if none were emitted yet
+      next_reset = props_sent ? 1 : 2;
     }
-    first_chunk = false;
     pos = end;
   }
 }
