@@ -469,8 +469,14 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
         block_start, check_off, out0, outn = span
         chk = ByteCursor(data, check_off)
         block_out = outv[out0 : out0 + outn]
+        import os as _os
+
         if (
             engine == "tpu"
+            and _os.environ.get("LZMA_RS_TPU_DEVICE_CRC")
+            # bit-exact on CPU for all lengths (tests/test_crc_device.py);
+            # a TPU-lowering discrepancy at L>=2 is still under
+            # investigation, so on-device verification stays opt-in
             and outn >= (1 << 20)
             and header_flags.check_method
             in (xz_fmt.CHECK_CRC32, xz_fmt.CHECK_CRC64)
