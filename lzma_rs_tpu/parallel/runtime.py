@@ -59,12 +59,24 @@ class DecodePlan:
     total_out: int
 
 
+class UnparallelizableStream(Exception):
+    """The stream carries probability state across a dict-reset boundary
+    (legal per the reference: an uncompressed dict-reset chunk does not
+    touch the probability model, decode/lzma2.rs:195-228, and a following
+    reset_mode-0 chunk continues it). Segments are then not independent
+    and the stream must decode sequentially."""
+
+
 def plan_lzma2_stream(
     data: bytes, start: int, out_base: int
 ) -> Tuple[DecodePlan, int]:
     """Plan one LZMA2 chunk stream; returns (plan, consumed_bytes).
 
     Output offsets are absolute (``out_base`` + position in this stream).
+
+    Raises :class:`UnparallelizableStream` when a non-initial segment's
+    first LZMA chunk does not reset the probability model — parallel
+    engines fall back to the sequential host decoder for exactness.
     """
     cursor = ByteCursor(data, start)
     table = lzma2_fmt.scan(cursor)
@@ -87,6 +99,15 @@ def plan_lzma2_stream(
                 dict_size=0xFFFFFFFF,  # LZMA2 has no distance cap per se
             )
             lanes.append(lane)
+        if (
+            chunk.kind == lzma2_fmt.KIND_LZMA
+            and not chunk.reset_state
+            and not lane.in_start
+            and len(lanes) > 1
+        ):
+            # first LZMA chunk of a later segment continues the previous
+            # segment's probability model: segments are not independent
+            raise UnparallelizableStream()
         if chunk.kind == lzma2_fmt.KIND_UNCOMPRESSED:
             prefill.append((chunk.data_off, abs_out, chunk.unpacked_size))
         else:
@@ -336,7 +357,10 @@ def _host_lzma2(data: bytes) -> bytes:
 def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
     """Parallel LZMA2 decode of a full chunk stream."""
     data = bytes(data)
-    plan, consumed = plan_lzma2_stream(data, 0, 0)
+    try:
+        plan, consumed = plan_lzma2_stream(data, 0, 0)
+    except UnparallelizableStream:
+        return _host_lzma2(data)
     if engine == "native":
         try:
             return execute_plan_native(data, [plan])
@@ -390,6 +414,15 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
     "native" = thread-pool over the C++ flat decoder.
     """
     data = bytes(data)
+    try:
+        return _xz_decode_parallel(data, engine)
+    except UnparallelizableStream:
+        from lzma_rs_tpu.models.codecs import xz_decode_stream
+
+        return xz_decode_stream(ByteCursor(data))
+
+
+def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
     cursor = ByteCursor(data)
     header_flags = xz_fmt.parse_stream_header(cursor)
 
