@@ -333,6 +333,82 @@ def execute_plan_native(
     return bytes(out)
 
 
+def _execute_native_blockwise(
+    data: bytes,
+    plans: List[DecodePlan],
+    block_spans: List[Tuple[int, int, int, int]],
+    header_flags,
+) -> bytes:
+    """Decode + verify per block in one fused task pipeline."""
+    import ctypes
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lzma_rs_tpu.native import loader
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    lib = loader.load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+
+    total_out = sum(p.total_out for p in plans)
+    out = bytearray(total_out)
+    outv_np = np.frombuffer(out, dtype=np.uint8)
+    src = np.frombuffer(data, dtype=np.uint8)
+    for p in plans:
+        for src_off, dst_off, n in p.prefill:
+            outv_np[dst_off : dst_off + n] = src[src_off : src_off + n]
+
+    base_addr = ctypes.addressof(ctypes.c_char.from_buffer(out))
+    outv = memoryview(out)
+
+    st = stats_mod.current()
+    if st is not None:
+        st.engine = "native"
+        st.lanes += sum(len(p.lanes) for p in plans)
+        st.chunks += sum(len(l.in_start) for p in plans for l in p.lanes)
+        st.prefill_bytes += sum(n for p in plans for _, _, n in p.prefill)
+        st.packed_bytes += len(data)
+        st.unpacked_bytes += total_out
+
+    def run_block(plan: DecodePlan, span):
+        _, check_off, out0, outn = span
+        for lane in plan.lanes:
+            seg_cap = lane.out_end[-1] - lane.seg_base
+            chunks = [
+                (
+                    lane.in_start[i], lane.in_end[i],
+                    lane.out_start[i] - lane.seg_base,
+                    lane.out_end[i] - lane.seg_base,
+                    lane.reset_state[i], lane.lc[i], lane.lp[i], lane.pb[i],
+                )
+                for i in range(len(lane.in_start))
+            ]
+            lib.lzma2_decode_segment(
+                data, chunks, base_addr + lane.seg_base, seg_cap
+            )
+        xz_fmt.validate_block_check(
+            ByteCursor(data, check_off),
+            outv[out0 : out0 + outn],
+            header_flags.check_method,
+        )
+
+    nthreads = min(32, os.cpu_count() or 1)
+    with stats_mod.launch_timer(st):
+        if nthreads <= 1 or len(plans) == 1:
+            for plan, span in zip(plans, block_spans):
+                run_block(plan, span)
+        else:
+            with ThreadPoolExecutor(max_workers=nthreads) as pool:
+                futures = [
+                    pool.submit(run_block, plan, span)
+                    for plan, span in zip(plans, block_spans)
+                ]
+                for f in futures:  # stream order: first error wins
+                    f.result()
+    return bytes(out)
+
+
 class _KernelError(Exception):
     """Internal: a lane flagged an error; host replay produces the exact
     reference error."""
@@ -476,14 +552,21 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
 
     index_size = xz_fmt.check_index(cursor, records)
 
-    # Pass 2: decode all blocks in one parallel launch.
+    # Pass 2: decode all blocks in one parallel launch. The native engine
+    # pipelines: each block's task decodes its segments then verifies its
+    # check immediately, so hashing overlaps the decode of later blocks
+    # (errors still surface in stream order).
     if engine == "native":
         try:
-            out = execute_plan_native(data, plans)
+            out = _execute_native_blockwise(
+                data, plans, block_spans, header_flags
+            )
         except Exception:
             from lzma_rs_tpu.models.codecs import xz_decode_stream
 
             return xz_decode_stream(ByteCursor(data))
+        xz_fmt.check_footer(cursor, header_flags, index_size)
+        return out
     else:
         try:
             out = execute_plan(data, plans)
