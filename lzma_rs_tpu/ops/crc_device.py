@@ -247,12 +247,16 @@ def _jitted_crc_matmul(width: int, L: int):
             jnp.int8
         )
         bits = bits.reshape(L, CHUNK * 8)
+        # bf16 x bf16 -> f32 accumulation: 0/1 operands make every partial
+        # product exact and sums stay < 2^24, so the f32 result is exact.
+        # (int8->int32 dot produced parity-corrupting partial sums on TPU
+        # at some shapes; f32 accumulation is the MXU's native exact path.)
         y = jax.lax.dot_general(
-            bits, W.astype(jnp.int8),
+            bits.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.float32,
         )  # [L, width]
-        parity = (y & 1).astype(jnp.uint32)
+        parity = (y.astype(jnp.int32) & 1).astype(jnp.uint32)
         lo = jnp.zeros((L,), jnp.uint32)
         for k in range(min(width, 32)):
             lo = lo | (parity[:, k] << k)
