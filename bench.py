@@ -56,7 +56,7 @@ def build_corpus() -> None:
     with open(CORPUS, "wb") as f:
         f.write(data)
     subprocess.run(
-        ["xz", "-6", "-T0", "--block-size=4194304", "-k", "-f", CORPUS],
+        ["xz", "-6", "-T0", "--block-size=1048576", "-k", "-f", CORPUS],
         check=True,
     )
     os.replace(CORPUS + ".xz", CORPUS_XZ)
