@@ -256,6 +256,10 @@ def _jitted_crc_matmul(width: int, L: int):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [L, width]
+        # The barrier prevents XLA from fusing/recomputing the dot inside
+        # the parity/pack stage — observed to flip single parity bits on
+        # the experimental TPU platform (exact when materialized).
+        y = jax.lax.optimization_barrier(y)
         parity = (y.astype(jnp.int32) & 1).astype(jnp.uint32)
         lo = jnp.zeros((L,), jnp.uint32)
         for k in range(min(width, 32)):
