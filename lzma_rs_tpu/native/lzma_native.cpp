@@ -1136,20 +1136,40 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
         best_rep = r;
       }
 
-    // Greedy heuristics: a rep match beats a normal match unless the
-    // normal one is at least 2 longer; min normal len 3 unless near.
+    // Distance-dependent minimum length (standard LZMA heuristic: a far
+    // match must be longer to pay for its distance bits).
+    if (m_len >= 3) {
+      if ((m_len == 3 && m_dist > (1u << 12)) ||
+          (m_len == 4 && m_dist > (1u << 20)) ||
+          (m_len == 5 && m_dist > (1u << 26)))
+        m_len = 0;
+    }
+    // A rep match beats a normal match unless the normal one is at least
+    // 2 longer (rep distances cost almost nothing to code).
     bool use_rep = best_rep_len >= 2 && best_rep_len + 1 >= m_len;
-    bool use_match =
-        !use_rep && m_len >= 3 && !(m_len == 3 && m_dist > (1u << 16));
+    bool use_match = !use_rep && m_len >= 3;
 
-    // Lazy lookahead: if the match at pos+1 is strictly longer, emit a
-    // literal now and take the longer match next iteration.
+    // Lazy lookahead: if the match at pos+1 is longer, or as long but much
+    // nearer, emit a literal now and take the better match next iteration.
     if (use_match && pos + 1 + 4 <= end && m_len < kMaxMatchLen) {
       size_t lim2 = end - (pos + 1);
       if (lim2 > kMaxMatchLen) lim2 = kMaxMatchLen;
       auto [n_len, n_dist] = mf.find(pos + 1, max_dist + 1, lim2);
-      (void)n_dist;
-      if (n_len > m_len) use_match = false;
+      if (n_len > m_len ||
+          (n_len == m_len && n_dist + (n_dist >> 3) < m_dist))
+        use_match = false;
+      // also defer to an upcoming rep match: check if pos+1 continues
+      // rep0 (cheap and common in structured data)
+      if (use_match && enc.rep[0] + 1 <= max_dist + 1 && m_len < 64) {
+        size_t d0 = size_t(enc.rep[0]) + 1;
+        if (pos + 1 >= d0) {
+          const uint8_t* q = block + pos + 1 - d0;
+          size_t l = 0;
+          size_t cap = lim2;
+          while (l < cap && q[l] == block[pos + 1 + l]) l++;
+          if (l >= size_t(m_len)) use_match = false;
+        }
+      }
     }
 
     if (use_rep) {
