@@ -256,22 +256,23 @@ def _jitted_crc_matmul(width: int, L: int):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [L, width]
-        # The barrier prevents XLA from fusing/recomputing the dot inside
-        # the parity/pack stage — observed to flip single parity bits on
-        # the experimental TPU platform (exact when materialized).
-        y = jax.lax.optimization_barrier(y)
-        parity = (y.astype(jnp.int32) & 1).astype(jnp.uint32)
-        lo = jnp.zeros((L,), jnp.uint32)
-        for k in range(min(width, 32)):
-            lo = lo | (parity[:, k] << k)
-        if width == 32:
-            return lo
-        hi = jnp.zeros((L,), jnp.uint32)
-        for k in range(32, 64):
-            hi = hi | (parity[:, k] << (k - 32))
-        return lo, hi
+        parity = (y.astype(jnp.int32) & 1).astype(jnp.uint8)
+        # Return the parity matrix; the register pack happens on the host.
+        # (The obvious shift-OR pack loop miscompiles on the experimental
+        # TPU platform: bits/y/parity verified exact on device while the
+        # packed word came back wrong. Stage-by-stage evidence in
+        # CLAUDE.md "Open issues".)
+        return parity  # [L, width] of 0/1
 
     return jax.jit(fn)
+
+
+def _pack_parity(parity: np.ndarray, width: int) -> np.ndarray:
+    """[L, width] 0/1 -> [L] uint64 registers (host)."""
+    shifts = np.arange(width, dtype=np.uint64)
+    return (parity.astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
 
 
 def _tree_combine_host(regs: np.ndarray, poly: int, width: int, chunk_len: int) -> int:
@@ -328,13 +329,8 @@ def _device_raw(data: bytes, width: int) -> tuple:
         seg = data[pos : pos + L * CHUNK]
         arr = np.frombuffer(seg, dtype=np.uint8).reshape(L, CHUNK)
         fn = _jitted_crc_matmul(width, L)
-        if width == 32:
-            regs = np.asarray(fn(jnp.asarray(arr)), dtype=np.uint64)
-        else:
-            lo, hi = fn(jnp.asarray(arr))
-            regs = np.asarray(lo, dtype=np.uint64) | (
-                np.asarray(hi, dtype=np.uint64) << np.uint64(32)
-            )
+        parity = np.asarray(fn(jnp.asarray(arr)))
+        regs = _pack_parity(parity, width)
         val = _tree_combine_host(regs, poly, width, CHUNK)
         raw = val if first else combine_raw(poly, width, raw, val, L * CHUNK)
         first = False
