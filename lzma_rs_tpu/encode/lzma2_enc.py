@@ -33,7 +33,14 @@ def _store(data: bytes) -> bytes:
     return bytes(out)
 
 
-def lzma2_compress(data: bytes, level: Optional[int] = DEFAULT_LEVEL) -> bytes:
+def lzma2_compress(
+    data: bytes,
+    level: Optional[int] = DEFAULT_LEVEL,
+    chunk_size: int = CHUNK,
+) -> bytes:
+    """``chunk_size`` sets unpacked bytes per LZMA2 chunk (256..65536).
+    Smaller chunks cost a little ratio but bound the per-chunk work unit
+    (the VMEM TPU kernel wants segments <= its window)."""
     data = bytes(data)
     if level:
         try:
@@ -43,5 +50,5 @@ def lzma2_compress(data: bytes, level: Optional[int] = DEFAULT_LEVEL) -> bytes:
         except Exception:
             lib = None
         if lib is not None:
-            return lib.lzma2_compress(data, int(level))
+            return lib.lzma2_compress(data, int(level), int(chunk_size))
     return _store(data)

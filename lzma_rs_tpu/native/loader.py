@@ -79,6 +79,7 @@ class NativeLib:
             ctypes.c_char_p,
             ctypes.c_size_t,
             ctypes.c_int,
+            ctypes.c_size_t,  # chunk size (unpacked bytes per chunk)
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t),
         ]
@@ -155,11 +156,14 @@ class NativeLib:
         out, _ = self.lzma2_decode_at(data, 0)
         return out
 
-    def lzma2_compress(self, data: bytes, level: int) -> bytes:
+    def lzma2_compress(
+        self, data: bytes, level: int, chunk_size: int = 65536
+    ) -> bytes:
         buf = ctypes.c_void_p()
         n = ctypes.c_size_t()
         self._lib.lrt_lzma2_compress(
-            data, len(data), level, ctypes.byref(buf), ctypes.byref(n)
+            data, len(data), level, chunk_size,
+            ctypes.byref(buf), ctypes.byref(n),
         )
         return self._take(buf, n)
 
@@ -215,7 +219,7 @@ def _pgo_train(so_path: str) -> None:
     lib = ctypes.CDLL(so_path)
     lib.lrt_lzma2_compress.restype = ctypes.c_int
     lib.lrt_lzma2_compress.argtypes = [
-        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
     ]
     lib.lrt_lzma2_decode.restype = ctypes.c_int
@@ -239,7 +243,7 @@ def _pgo_train(so_path: str) -> None:
 
     buf = ctypes.c_void_p()
     n = ctypes.c_size_t()
-    lib.lrt_lzma2_compress(train, len(train), 6, ctypes.byref(buf),
+    lib.lrt_lzma2_compress(train, len(train), 6, 65536, ctypes.byref(buf),
                            ctypes.byref(n))
     comp = ctypes.string_at(buf.value, n.value)
     lib.lrt_free(buf)

@@ -875,18 +875,23 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
 }
 
 // Real LZMA2 compression (greedy match-finding). level 1..9 maps to match
-// finder depth. Output is a complete LZMA2 chunk stream (0x00-terminated).
+// finder depth; chunk_size (clamped to [256, 65536]) sets the unpacked
+// bytes per LZMA2 chunk (smaller chunks suit the VMEM TPU decode kernel).
+// Output is a complete LZMA2 chunk stream (0x00-terminated).
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
-                                 int first_block, std::string& out);
+                                 int first_block, size_t chunk_size,
+                                 std::string& out);
 
-int lrt_lzma2_compress(const char* data, size_t n, int level, void** out_buf,
-                       size_t* out_len) {
+int lrt_lzma2_compress(const char* data, size_t n, int level,
+                       size_t chunk_size, void** out_buf, size_t* out_len) {
   int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 128;
+  if (chunk_size < 256) chunk_size = 256;
+  if (chunk_size > 65536) chunk_size = 65536;
   std::string out;
   out.reserve(n / 3 + 64);
   if (n > 0)
     lzma2_compress_block(reinterpret_cast<const uint8_t*>(data), n, depth,
-                         /*first_block=*/1, out);
+                         /*first_block=*/1, chunk_size, out);
   out.push_back('\0');
   *out_buf = dup_out(out);
   *out_len = out.size();
@@ -1237,8 +1242,9 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
 // (control 1/2) with an encoder-state rollback, and the next compressed
 // chunk resets state (reset_mode 1) as the spec requires.
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
-                                 int first_block, std::string& out) {
-  constexpr size_t kChunk = 65536;
+                                 int first_block, size_t chunk_size,
+                                 std::string& out) {
+  const size_t kChunk = chunk_size;
   MatchFinder mf(data, n, depth);
   LzmaEncoder enc(3, 0, 2);
   size_t pos = 0;

@@ -1,0 +1,740 @@
+"""VMEM-resident Pallas decoder: the high-throughput TPU compute path.
+
+The XLA lane kernel (``ops/lane_decoder.py``) keeps its probability tables
+and LZ window in HBM; every micro-op pays an HBM gather/scatter that XLA
+serializes per lane (~0.5 us/lane/iter, docs/DESIGN.md). This kernel holds
+*everything* in VMEM and expresses every data-dependent access as a masked
+one-hot select, which the VPU executes at ~2e12 element-ops/s (measured:
+``tools/probe_mosaic.py``, docs/DESIGN.md "Mosaic probe results"):
+
+- probability tables: one flat "hot" table (everything except literals,
+  1847 entries/lane, padded to 2048) plus the literal table
+  (``NLIT x 768``/lane). A hot bit costs a one-hot read + write over
+  ``[L, 2048]`` (~0.3 us per 128 lanes). Literal symbols extract their
+  768-entry context row into a working tile at symbol start, walk their
+  8-11 bits against the tile, and the row merges back when the next
+  literal starts (amortized over the symbol's bits).
+- the LZ window *is* the output: ``[L, W]`` u8 in VMEM. Literal appends
+  and match copies are masked one-hot writes; match-source / match-byte /
+  prev-byte reads are masked one-hot reads. ``W`` bounds the dict-reset
+  segment size this kernel accepts — the "TPU profile" (archives whose
+  reset segments are <= W, e.g. produced by our encoder with
+  ``block_size <= W``) decodes here; bigger-dict streams fall back to the
+  XLA lane kernel or the native host engine.
+- compressed input is staged per lane (``[L, W_IN]`` u8) and read through
+  a 256-byte lookahead tile, refilled for all lanes every MAINT=64
+  iterations (consumption is <= 1 byte/lane/iteration by construction, so
+  a row-aligned tile always covers the next MAINT reads).
+
+Lanes = independent dict-reset segments, exactly as in the XLA kernel;
+the 19-node micro-op DFA and all symbol semantics mirror the executable
+spec (``models/spec.py``) and the reference decoder:
+  range coder:   /root/reference/src/decode/rangecoder.rs:93-152
+  state machine: /root/reference/src/decode/lzma.rs:278-593
+  LZMA2 resets:  /root/reference/src/decode/lzma2.rs:104-193
+
+Bit-exactness versus the spec is enforced by tests (interpret mode on
+CPU; compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lzma_rs_tpu.models.state import (
+    LEN_HIGH,
+    LEN_LOW,
+    LEN_MID,
+    PROB_INIT,
+    STATE_AFTER_LIT,
+    STATE_AFTER_MATCH,
+    STATE_AFTER_REP,
+    STATE_AFTER_SHORTREP,
+)
+
+# Node ids (same DFA as ops/lane_decoder.py).
+N_ISMATCH = 0
+N_LIT = 1
+N_LITM = 2
+N_ISREP = 3
+N_ISREPG0 = 4
+N_ISREP0LONG = 5
+N_ISREPG1 = 6
+N_ISREPG2 = 7
+N_LEN_CHOICE = 8
+N_LEN_CHOICE2 = 9
+N_LEN_TREE = 10
+N_POSSLOT = 11
+N_SPECPOS = 12
+N_DIRECT = 13
+N_ALIGN = 14
+N_COPY = 15
+N_CHUNK = 16
+N_DONE = 17
+N_ERROR = 18
+
+# Error codes (shared with lane_decoder's host mapping).
+ERR_NONE = 0
+ERR_EOF = 1
+ERR_DIST_OUT = 2
+ERR_DIST_DICT = 3
+ERR_SIZE = 4
+ERR_EOS_EXTRA = 5
+ERR_SHORT = 6
+ERR_MATCHDIST = 7
+
+# ---------------------------------------------------------------------------
+# Hot probability table layout (per lane): everything except literals.
+# ---------------------------------------------------------------------------
+HOT_IS_MATCH = 0          # 192 (12 states x 16 pos_states)
+HOT_IS_REP = 192          # 12
+HOT_IS_REP_G0 = 204       # 12
+HOT_IS_REP_G1 = 216       # 12
+HOT_IS_REP_G2 = 228       # 12
+HOT_IS_REP_0LONG = 240    # 192
+HOT_POS_SLOT = 432        # 4 x 64
+HOT_SPEC_POS = 688        # 115
+HOT_ALIGN = 803           # 16
+HOT_LEN = 819             # 514 (choice, choice2, low 16x8, mid 16x8, high)
+HOT_REP_LEN = 1333        # 514
+HOT_TOTAL = 1847
+HOT_W = 2048              # padded width
+
+LIT_ROW = 0x300           # 768 entries per literal context
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+_LIT_NEXT = tuple(int(x) for x in STATE_AFTER_LIT)
+_MATCH_NEXT = tuple(int(x) for x in STATE_AFTER_MATCH)
+_REP_NEXT = tuple(int(x) for x in STATE_AFTER_REP)
+_SHORTREP_NEXT = tuple(int(x) for x in STATE_AFTER_SHORTREP)
+
+
+def _state_table(tbl):
+    """12-entry state-transition lookup as a select chain."""
+
+    def apply(state):
+        out = jnp.full_like(state, tbl[0])
+        for s in range(1, 12):
+            out = jnp.where(state == s, tbl[s], out)
+        return out
+
+    return apply
+
+
+_after_lit = _state_table(_LIT_NEXT)
+_after_match = _state_table(_MATCH_NEXT)
+_after_rep = _state_table(_REP_NEXT)
+_after_shortrep = _state_table(_SHORTREP_NEXT)
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Static shape bucket. VMEM ~= L*(W + W_IN + 4*(NLIT*768 + 2048 + 768
+    + 256)) bytes; the default (128, 16384, 16384, 8) is ~12 MB."""
+
+    L: int = 128        # lanes (independent dict-reset segments)
+    W: int = 16384      # window/output bytes per lane (max segment size)
+    W_IN: int = 16384   # staged compressed input bytes per lane
+    NLIT: int = 8       # literal contexts (1 << (lc+lp)); lc+lp <= 3
+    K: int = 8          # max chunks per lane
+    TILE: int = 256     # input lookahead tile width
+    MAINT: int = 64     # lookahead refill period (consumption <= 1 B/step)
+
+    @property
+    def lit_w(self) -> int:
+        return self.NLIT * LIT_ROW
+
+
+def decode_segments_vmem(
+    inbuf,        # [L, W_IN] u8 — per-lane staged compressed bytes
+    win_init,     # [L, W] u8 — prefilled with uncompressed chunks
+    in_start,     # [L, K] i32 — lane-local chunk payload offsets
+    in_end,       # [L, K] i32
+    out_start,    # [L, K] i32 — lane-local output offset at chunk start
+    out_end,      # [L, K] i32
+    reset_state,  # [L, K] i32
+    lcs, lps, pbs,  # [L, K] i32
+    nchunks,      # [1, L] i32
+    *,
+    config: KernelConfig,
+    max_iters: int,
+    interpret: bool = False,
+):
+    """Decode all lanes to completion. Returns (win, err, outp, iters)."""
+    cfg = config
+    L, W, W_IN, K, TILE = cfg.L, cfg.W, cfg.W_IN, cfg.K, cfg.TILE
+    LIT_W = cfg.lit_w
+
+    def kernel(
+        in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, rs_ref,
+        lc_ref, lp_ref, pb_ref, nc_ref,
+        win_ref, err_ref, outp_ref, iters_ref,
+        hot_ref, lit_ref, row_ref, tile_ref,
+    ):
+        win_ref[:] = win_in_ref[:]
+        hot_ref[:] = jnp.full((L, HOT_W), PROB_INIT, _I32)
+        lit_ref[:] = jnp.full((L, LIT_W), PROB_INIT, _I32)
+        row_ref[:] = jnp.full((L, LIT_ROW), PROB_INIT, _I32)
+        tile_ref[:] = jnp.zeros((L, TILE), _I32)
+
+        nchunks_v = nc_ref[:]
+
+        def onehot_read_v(table, idx, width):
+            """v[l] = table[l, idx[l]]; idx [1, L]; values must be >= 0."""
+            cols = jax.lax.broadcasted_iota(_I32, (L, width), 1)
+            sel = jnp.where(cols == idx.reshape(L, 1), table, 0)
+            return jnp.max(sel, axis=1).reshape(1, L)
+
+        def win_byte(idx):
+            cols = jax.lax.broadcasted_iota(_I32, (L, W), 1)
+            sel = jnp.where(
+                cols == idx.reshape(L, 1), win_ref[:], jnp.uint8(0)
+            )
+            return jnp.max(sel, axis=1).reshape(1, L).astype(_I32)
+
+        def in_byte(inp, tile_base):
+            return onehot_read_v(tile_ref[:], inp - tile_base, TILE)
+
+        def refill(inp):
+            """Row-aligned lookahead: tile[l, :] = inbuf[l, a : a + TILE]
+            with a = (inp[l] // 128) * 128, via one one-hot row select per
+            input row. Coverage after refill: >= TILE - 128 bytes past
+            inp, enough for MAINT steps of 1-byte reads plus rc-init."""
+            row0 = (inp // 128).reshape(L, 1)
+            n_rows = TILE // 128
+            acc = [jnp.zeros((L, 128), _I32) for _ in range(n_rows)]
+            for r in range(W_IN // 128):
+                chunk = in_ref[:, r * 128:(r + 1) * 128].astype(_I32)
+                for t in range(n_rows):
+                    acc[t] = jnp.where(row0 + t == r, chunk, acc[t])
+            tile_ref[:] = jnp.concatenate(acc, axis=1)
+
+        def step(carry):
+            (node0, err, rng, cod, inp, inend, outp, outend, state,
+             rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
+             mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
+             tile_base, it) = carry
+
+            # -------- maintenance: refill the lookahead every MAINT steps
+            do_maint = (it % cfg.MAINT) == 0
+
+            @pl.when(do_maint)
+            def _():
+                refill(inp)
+
+            tile_base = jnp.where(do_maint, (inp // 128) * 128, tile_base)
+
+            hot = hot_ref[:]
+
+            is_prob = (node0 <= N_ALIGN) & (node0 != N_DIRECT)
+            is_lit_node = (node0 == N_LIT) | (node0 == N_LITM)
+            is_hot = is_prob & ~is_lit_node
+            is_direct = node0 == N_DIRECT
+            active_bit = is_prob | is_direct
+
+            pos_state = outp & ((1 << pb) - 1)
+            st4 = (state << 4) + pos_state
+
+            # -------- Stage A: probability index + one bit ----------------
+            match_bit0 = (mbyte >> 7) & 1
+            len_base = jnp.where(len_rep == 1, HOT_REP_LEN, HOT_LEN)
+            # `tmp` holds the tree base for LEN/POS/SPEC/ALIGN walks.
+            hot_idx = jnp.select(
+                [
+                    node0 == N_ISMATCH,
+                    node0 == N_ISREP,
+                    node0 == N_ISREPG0,
+                    node0 == N_ISREP0LONG,
+                    node0 == N_ISREPG1,
+                    node0 == N_ISREPG2,
+                    node0 == N_LEN_CHOICE,
+                    node0 == N_LEN_CHOICE2,
+                ],
+                [
+                    HOT_IS_MATCH + st4,
+                    HOT_IS_REP + state,
+                    HOT_IS_REP_G0 + state,
+                    HOT_IS_REP_0LONG + st4,
+                    HOT_IS_REP_G1 + state,
+                    HOT_IS_REP_G2 + state,
+                    len_base,
+                    len_base + 1,
+                ],
+                tmp + acc,  # N_LEN_TREE, N_POSSLOT, N_SPECPOS, N_ALIGN
+            )
+            hot_idx = jnp.clip(hot_idx, 0, HOT_TOTAL - 1)
+            lit_idx = jnp.where(
+                node0 == N_LITM, ((1 + match_bit0) << 8) + acc, acc
+            )
+            lit_idx = jnp.clip(lit_idx, 0, LIT_ROW - 1)
+
+            p_hot = onehot_read_v(hot, hot_idx, HOT_W)
+            p_lit = onehot_read_v(row_ref[:], lit_idx, LIT_ROW)
+            p = jnp.where(is_lit_node, p_lit, p_hot).astype(_U32)
+
+            rng_u = rng.astype(_U32)
+            cod_u = cod.astype(_U32)
+            bound = (rng_u >> 11) * p
+            prob_bit = (cod_u >= bound).astype(_I32)
+            new_p = jnp.where(
+                prob_bit == 1, p - (p >> 5), p + ((_U32(0x800) - p) >> 5)
+            ).astype(_I32)
+
+            hot_cols = jax.lax.broadcasted_iota(_I32, (L, HOT_W), 1)
+            hm = (hot_cols == hot_idx.reshape(L, 1)) & is_hot.reshape(L, 1)
+            hot_ref[:] = jnp.where(hm, new_p.reshape(L, 1), hot)
+            row_cols = jax.lax.broadcasted_iota(_I32, (L, LIT_ROW), 1)
+            rm = (row_cols == lit_idx.reshape(L, 1)) & is_lit_node.reshape(
+                L, 1
+            )
+            row_ref[:] = jnp.where(rm, new_p.reshape(L, 1), row_ref[:])
+
+            rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
+            cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
+
+            rng_d = rng_u >> 1
+            dir_bit = (cod_u >= rng_d).astype(_I32)
+            cod_d = jnp.where(dir_bit == 1, cod_u - rng_d, cod_u)
+
+            bit = jnp.where(is_prob, prob_bit, dir_bit)
+            rng_u = jnp.where(
+                is_prob, rng_p, jnp.where(is_direct, rng_d, rng_u)
+            )
+            cod_u = jnp.where(
+                is_prob, cod_p, jnp.where(is_direct, cod_d, cod_u)
+            )
+
+            # -------- Stage B: renormalize --------------------------------
+            need = active_bit & (rng_u < _U32(1 << 24))
+            can = inp < inend
+            eof = need & ~can
+            err = jnp.where(eof & (err == ERR_NONE), ERR_EOF, err)
+            node = jnp.where(eof, N_ERROR, node0)
+            do = need & can
+            byte_in = in_byte(inp, tile_base).astype(_U32)
+            rng_u = jnp.where(do, rng_u << 8, rng_u)
+            cod_u = jnp.where(do, (cod_u << 8) ^ byte_in, cod_u)
+            inp = jnp.where(do, inp + 1, inp)
+            rng = rng_u.astype(_I32)
+            cod = cod_u.astype(_I32)
+
+            ok = node != N_ERROR
+
+            def end_symbol(mask, node, err, outp_v):
+                over = mask & (outp_v > outend)
+                err = jnp.where(over & (err == ERR_NONE), ERR_SIZE, err)
+                node = jnp.where(over, N_ERROR, node)
+                chunk_done = mask & ~over & (outp_v == outend)
+                node = jnp.where(chunk_done, N_CHUNK, node)
+                cont = mask & ~over & ~chunk_done
+                node = jnp.where(cont, N_ISMATCH, node)
+                return node, err
+
+            def start_copy(mask, node, err, new_len, new_dist, length,
+                           dist):
+                # new_dist < 1 catches i32 wraparound of corrupt huge
+                # distances (valid segments keep dist <= W < 2^31)
+                bad = mask & ((new_dist > outp) | (new_dist < 1))
+                err = jnp.where(bad & (err == ERR_NONE), ERR_DIST_OUT, err)
+                node = jnp.where(bad, N_ERROR, node)
+                node = jnp.where(mask & ~bad, N_COPY, node)
+                ln = jnp.where(mask & ~bad, new_len, length)
+                ds = jnp.where(mask & ~bad, new_dist, dist)
+                return node, err, ln, ds
+
+            # --- N_ISMATCH -------------------------------------------------
+            m = ok & (node0 == N_ISMATCH)
+            m0 = m & (bit == 0)
+            prev_byte = jnp.where(
+                outp > 0, win_byte(jnp.maximum(outp - 1, 0)), 0
+            )
+            lit_state = ((outp & ((1 << lp) - 1)) << lc) + (
+                prev_byte >> (8 - lc)
+            )
+            matched = m0 & (state >= 7)
+            bad_md = matched & (rep0 + 1 > outp)
+            err = jnp.where(bad_md & (err == ERR_NONE), ERR_MATCHDIST, err)
+            node = jnp.where(bad_md, N_ERROR, node)
+            matched = matched & ~bad_md
+            msrc = jnp.clip(outp - 1 - rep0, 0, W - 1)
+            mb = win_byte(msrc)
+            mbyte = jnp.where(matched, mb, mbyte)
+            start_lit = m0 & ~bad_md
+            acc = jnp.where(start_lit, 1, acc)
+            node = jnp.where(
+                start_lit, jnp.where(state >= 7, N_LITM, N_LIT), node
+            )
+            node = jnp.where(m & (bit == 1), N_ISREP, node)
+
+            # swap the working literal row: merge the old context's row
+            # back and load the new one (one pass over the lit table).
+            new_ctx = jnp.where(start_lit, lit_state, lit_ctx)
+            swap = start_lit & True
+            row_v = row_ref[:]
+            new_row = row_v
+            for c in range(cfg.NLIT):
+                seg = lit_ref[:, c * LIT_ROW:(c + 1) * LIT_ROW]
+                m_out = (swap & (lit_ctx == c)).reshape(L, 1)
+                seg2 = jnp.where(m_out, row_v, seg)
+                lit_ref[:, c * LIT_ROW:(c + 1) * LIT_ROW] = seg2
+                m_in = (swap & (new_ctx == c)).reshape(L, 1)
+                new_row = jnp.where(m_in, seg2, new_row)
+            row_ref[:] = new_row
+            lit_ctx = new_ctx
+
+            # --- N_LITM ----------------------------------------------------
+            m = ok & (node0 == N_LITM)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            mbyte = jnp.where(m, (mbyte << 1) & 0xFF, mbyte)
+            done_litm = m & (acc >= 0x100)
+            drop = m & ~done_litm & (bit != match_bit0)
+            node = jnp.where(drop, N_LIT, node)
+
+            # --- N_LIT -----------------------------------------------------
+            m = ok & (node0 == N_LIT)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            done_lit = (m & (acc >= 0x100)) | done_litm
+
+            lit_emit = (acc - 0x100) & 0xFF
+            state = jnp.where(done_lit, _after_lit(state), state)
+            node, err = end_symbol(done_lit, node, err, outp + 1)
+            # outp advances below, in the combined window write
+
+            # --- N_ISREP ---------------------------------------------------
+            m = ok & (node0 == N_ISREP)
+            m0 = m & (bit == 0)
+            rep3 = jnp.where(m0, rep2, rep3)
+            rep2 = jnp.where(m0, rep1, rep2)
+            rep1 = jnp.where(m0, rep0, rep1)
+            len_rep = jnp.where(m0, 0, len_rep)
+            node = jnp.where(m0, N_LEN_CHOICE, node)
+            node = jnp.where(m & (bit == 1), N_ISREPG0, node)
+
+            # --- N_ISREPG0 -------------------------------------------------
+            m = ok & (node0 == N_ISREPG0)
+            node = jnp.where(m & (bit == 0), N_ISREP0LONG, node)
+            node = jnp.where(m & (bit == 1), N_ISREPG1, node)
+
+            # --- N_ISREP0LONG ---------------------------------------------
+            m = ok & (node0 == N_ISREP0LONG)
+            short = m & (bit == 0)
+            state = jnp.where(short, _after_shortrep(state), state)
+            node, err, length, dist = start_copy(
+                short, node, err, jnp.ones_like(length), rep0 + 1,
+                length, dist,
+            )
+            long0 = m & (bit == 1)
+            len_rep = jnp.where(long0, 1, len_rep)
+            node = jnp.where(long0, N_LEN_CHOICE, node)
+
+            # --- N_ISREPG1 -------------------------------------------------
+            m = ok & (node0 == N_ISREPG1)
+            sel1 = m & (bit == 0)
+            r0, r1 = rep0, rep1
+            rep0 = jnp.where(sel1, r1, rep0)
+            rep1 = jnp.where(sel1, r0, rep1)
+            len_rep = jnp.where(sel1, 1, len_rep)
+            node = jnp.where(sel1, N_LEN_CHOICE, node)
+            node = jnp.where(m & (bit == 1), N_ISREPG2, node)
+
+            # --- N_ISREPG2 -------------------------------------------------
+            m = ok & (node0 == N_ISREPG2)
+            sel2 = m & (bit == 0)
+            sel3 = m & (bit == 1)
+            r0, r1, r2, r3 = rep0, rep1, rep2, rep3
+            rep0 = jnp.where(sel2, r2, jnp.where(sel3, r3, rep0))
+            rep1 = jnp.where(sel2 | sel3, r0, rep1)
+            rep2 = jnp.where(sel2 | sel3, r1, rep2)
+            rep3 = jnp.where(sel3, r2, rep3)
+            len_rep = jnp.where(m, 1, len_rep)
+            node = jnp.where(m, N_LEN_CHOICE, node)
+
+            # --- N_LEN_CHOICE ----------------------------------------------
+            m = ok & (node0 == N_LEN_CHOICE)
+            low = m & (bit == 0)
+            tmp = jnp.where(low, len_base + LEN_LOW + pos_state * 8, tmp)
+            cnt = jnp.where(low, 3, cnt)
+            acc = jnp.where(low, 1, acc)
+            rev = jnp.where(low, 0, rev)  # rev doubles as len_add
+            node = jnp.where(low, N_LEN_TREE, node)
+            node = jnp.where(m & (bit == 1), N_LEN_CHOICE2, node)
+
+            # --- N_LEN_CHOICE2 ---------------------------------------------
+            m = ok & (node0 == N_LEN_CHOICE2)
+            mid = m & (bit == 0)
+            high = m & (bit == 1)
+            tmp = jnp.where(mid, len_base + LEN_MID + pos_state * 8, tmp)
+            tmp = jnp.where(high, len_base + LEN_HIGH, tmp)
+            cnt = jnp.where(mid, 3, jnp.where(high, 8, cnt))
+            acc = jnp.where(m, 1, acc)
+            rev = jnp.where(mid, 8, jnp.where(high, 16, rev))
+            node = jnp.where(m, N_LEN_TREE, node)
+
+            # --- N_LEN_TREE ------------------------------------------------
+            m = ok & (node0 == N_LEN_TREE)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_len = m & (cnt == 0)
+            tree_size = jnp.where(rev >= 16, 256, 8)
+            lval = rev + acc - tree_size  # 0..271
+            length = jnp.where(done_len, lval, length)
+            repdone = done_len & (len_rep == 1)
+            state = jnp.where(repdone, _after_rep(state), state)
+            node, err, length, dist = start_copy(
+                repdone, node, err, length + 2, rep0 + 1, length, dist
+            )
+            matchdone = done_len & (len_rep == 0)
+            state = jnp.where(matchdone, _after_match(state), state)
+            len_state = jnp.minimum(length, 3)
+            tmp = jnp.where(matchdone, HOT_POS_SLOT + len_state * 64, tmp)
+            cnt = jnp.where(matchdone, 6, cnt)
+            acc = jnp.where(matchdone, 1, acc)
+            node = jnp.where(matchdone, N_POSSLOT, node)
+
+            def finish_distance(mask, node, err, dist_field, length, dist,
+                                rep0_v):
+                marker = mask & (dist_field == -1)  # 0xFFFFFFFF as i32
+                fin_ok = marker & (cod == 0) & (inp >= inend)
+                size_mm = fin_ok & (outp != outend)
+                err = jnp.where(size_mm & (err == ERR_NONE), ERR_SIZE, err)
+                node = jnp.where(size_mm, N_ERROR, node)
+                clean = fin_ok & ~size_mm
+                node = jnp.where(clean, N_CHUNK, node)
+                bad_eos = marker & ~fin_ok
+                err = jnp.where(
+                    bad_eos & (err == ERR_NONE), ERR_EOS_EXTRA, err
+                )
+                node = jnp.where(bad_eos, N_ERROR, node)
+                normal = mask & ~marker
+                rep0_v = jnp.where(normal, dist_field, rep0_v)
+                node, err, ln, ds = start_copy(
+                    normal, node, err, length + 2, dist_field + 1,
+                    length, dist,
+                )
+                return node, err, ln, ds, rep0_v
+
+            # --- N_POSSLOT -------------------------------------------------
+            m = ok & (node0 == N_POSSLOT)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_ps = m & (cnt == 0)
+            pos_slot = acc - 64
+            small = done_ps & (pos_slot < 4)
+            node, err, length, dist, rep0 = finish_distance(
+                small, node, err, pos_slot, length, dist, rep0
+            )
+            big = done_ps & (pos_slot >= 4)
+            ndirect = (pos_slot >> 1) - 1
+            base_dist = (2 | (pos_slot & 1)) << jnp.clip(ndirect, 0, 30)
+            dist = jnp.where(big, base_dist, dist)
+            midrange = big & (pos_slot < 14)
+            tmp = jnp.where(
+                midrange, HOT_SPEC_POS + (base_dist - pos_slot), tmp
+            )
+            cnt = jnp.where(midrange, ndirect, cnt)
+            acc = jnp.where(midrange, 1, acc)
+            rev = jnp.where(midrange, 0, rev)
+            mbyte = jnp.where(midrange, 1, mbyte)  # mbyte = reverse bitpos
+            node = jnp.where(midrange, N_SPECPOS, node)
+            vast = big & (pos_slot >= 14)
+            cnt = jnp.where(vast, ndirect - 4, cnt)
+            acc = jnp.where(vast, 0, acc)
+            node = jnp.where(vast, N_DIRECT, node)
+
+            # --- N_SPECPOS -------------------------------------------------
+            m = ok & (node0 == N_SPECPOS)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            rev = jnp.where(m, rev | (bit * mbyte), rev)
+            mbyte = jnp.where(m, mbyte << 1, mbyte)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_sp = m & (cnt == 0)
+            node, err, length, dist, rep0 = finish_distance(
+                done_sp, node, err, dist + rev, length, dist, rep0
+            )
+
+            # --- N_DIRECT --------------------------------------------------
+            m = ok & (node0 == N_DIRECT)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_d = m & (cnt == 0)
+            dist = jnp.where(done_d, dist + (acc << 4), dist)
+            tmp = jnp.where(done_d, HOT_ALIGN, tmp)
+            cnt = jnp.where(done_d, 4, cnt)
+            acc = jnp.where(done_d, 1, acc)
+            rev = jnp.where(done_d, 0, rev)
+            mbyte = jnp.where(done_d, 1, mbyte)
+            node = jnp.where(done_d, N_ALIGN, node)
+
+            # --- N_ALIGN ---------------------------------------------------
+            m = ok & (node0 == N_ALIGN)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            rev = jnp.where(m, rev | (bit * mbyte), rev)
+            mbyte = jnp.where(m, mbyte << 1, mbyte)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_al = m & (cnt == 0)
+            node, err, length, dist, rep0 = finish_distance(
+                done_al, node, err, dist + rev, length, dist, rep0
+            )
+
+            # -------- Stage D: copy lanes move one byte --------------------
+            m = node0 == N_COPY
+            over = m & (outp >= outend) & (length > 0)
+            err = jnp.where(over & (err == ERR_NONE), ERR_SIZE, err)
+            node = jnp.where(over, N_ERROR, node)
+            m_w = m & ~over
+            src = jnp.clip(outp - dist, 0, W - 1)
+            copy_val = win_byte(src)
+            length = jnp.where(m_w, length - 1, length)
+            copy_done = m_w & (length == 0)
+            node, err = end_symbol(copy_done, node, err, outp + 1)
+
+            # -------- combined window write (literal emit OR copy byte) ----
+            wmask = done_lit | m_w
+            wval = jnp.where(done_lit, lit_emit, copy_val)
+            wc = jax.lax.broadcasted_iota(_I32, (L, W), 1)
+            sel = (wc == outp.reshape(L, 1)) & wmask.reshape(L, 1)
+            win_ref[:] = jnp.where(
+                sel, wval.reshape(L, 1).astype(jnp.uint8), win_ref[:]
+            )
+            outp = jnp.where(wmask, outp + 1, outp)
+
+            # -------- Stage E: chunk setup ----------------------------------
+            m = node0 == N_CHUNK
+            ci = jnp.clip(chunk_i, 0, K - 1)
+            have = m & (chunk_i < nchunks_v)
+            node = jnp.where(m & ~have, N_DONE, node)
+
+            def sched(ref):
+                return onehot_read_v(ref[:], ci, K)
+
+            cin = sched(is_ref)
+            cend = sched(ie_ref)
+            cout_start = sched(os_ref)
+            cout_end = sched(oe_ref)
+            creset = sched(rs_ref)
+            clc = sched(lc_ref)
+            clp = sched(lp_ref)
+            cpb = sched(pb_ref)
+
+            too_short = have & (cend - cin < 5)
+            err = jnp.where(too_short & (err == ERR_NONE), ERR_SHORT, err)
+            node = jnp.where(too_short, N_ERROR, node)
+            ready = have & ~too_short
+
+            # input coverage: rc-init plus one maintenance period must fit
+            # inside the tile; otherwise point `inp` at the chunk and wait
+            # for the next refill.
+            covered = (
+                (cin >= tile_base)
+                & (cin + 5 + cfg.MAINT + 8 <= tile_base + TILE)
+            )
+            go = ready & covered
+            wait = ready & ~covered
+            inp = jnp.where(wait, cin, inp)
+
+            do_reset = go & (creset == 1)
+
+            @pl.when(jnp.any(do_reset))
+            def _():
+                rmask = do_reset.reshape(L, 1)
+                hot_ref[:] = jnp.where(rmask, PROB_INIT, hot_ref[:])
+                lit_ref[:] = jnp.where(rmask, PROB_INIT, lit_ref[:])
+                row_ref[:] = jnp.where(rmask, PROB_INIT, row_ref[:])
+
+            state = jnp.where(do_reset, 0, state)
+            rep0 = jnp.where(do_reset, 0, rep0)
+            rep1 = jnp.where(do_reset, 0, rep1)
+            rep2 = jnp.where(do_reset, 0, rep2)
+            rep3 = jnp.where(do_reset, 0, rep3)
+            lc = jnp.where(go, clc, lc)
+            lp = jnp.where(go, clp, lp)
+            pb = jnp.where(go, cpb, pb)
+
+            b1 = in_byte(cin + 1, tile_base).astype(_U32)
+            b2 = in_byte(cin + 2, tile_base).astype(_U32)
+            b3 = in_byte(cin + 3, tile_base).astype(_U32)
+            b4 = in_byte(cin + 4, tile_base).astype(_U32)
+            code0 = ((b1 << 24) | (b2 << 16) | (b3 << 8) | b4).astype(_I32)
+            rng = jnp.where(go, -1, rng)  # 0xFFFFFFFF
+            cod = jnp.where(go, code0, cod)
+            inp = jnp.where(go, cin + 5, inp)
+            inend = jnp.where(go, cend, inend)
+            outp = jnp.where(go, cout_start, outp)
+            outend = jnp.where(go, cout_end, outend)
+            chunk_i = jnp.where(go, chunk_i + 1, chunk_i)
+            node = jnp.where(go, N_ISMATCH, node)
+            insta_done = go & (cout_start == cout_end)
+            node = jnp.where(insta_done, N_CHUNK, node)
+
+            return (node, err, rng, cod, inp, inend, outp, outend, state,
+                    rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
+                    dist, mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
+                    tile_base, it + 1)
+
+        def cond(carry):
+            node = carry[0]
+            it = carry[-1]
+            return jnp.any(node < N_DONE) & (it < max_iters)
+
+        z = jnp.zeros((1, L), _I32)
+        init = (
+            jnp.full((1, L), N_CHUNK, _I32),   # node
+            z,                                  # err
+            jnp.full((1, L), -1, _I32),         # rng
+            z,                                  # cod
+            z,                                  # inp
+            z,                                  # inend
+            z,                                  # outp
+            z,                                  # outend
+            z,                                  # state
+            z, z, z, z,                         # rep0..rep3
+            z,                                  # acc
+            z,                                  # cnt
+            z,                                  # tmp (tree base)
+            z,                                  # rev (len_add / rev bits)
+            z,                                  # length
+            z,                                  # dist
+            z,                                  # mbyte
+            z,                                  # len_rep
+            z,                                  # lit_ctx
+            z,                                  # chunk_i
+            z, z, z,                            # lc, lp, pb
+            z,                                  # tile_base
+            jnp.zeros((), _I32),                # it (scalar step counter)
+        )
+        final = jax.lax.while_loop(cond, step, init)
+        err_ref[:] = final[1]
+        outp_ref[:] = final[6]
+        iters_ref[:] = jnp.zeros((1, L), _I32) + final[-1]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((L, W), jnp.uint8),    # win
+        jax.ShapeDtypeStruct((1, L), jnp.int32),     # err
+        jax.ShapeDtypeStruct((1, L), jnp.int32),     # outp
+        jax.ShapeDtypeStruct((1, L), jnp.int32),     # iters
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L, HOT_W), jnp.int32),      # hot probs
+            pltpu.VMEM((L, LIT_W), jnp.int32),       # literal probs
+            pltpu.VMEM((L, LIT_ROW), jnp.int32),     # working literal row
+            pltpu.VMEM((L, TILE), jnp.int32),        # input lookahead
+        ],
+        interpret=interpret,
+    )(
+        inbuf, win_init, in_start, in_end, out_start, out_end,
+        reset_state, lcs, lps, pbs, nchunks,
+    )

@@ -409,6 +409,153 @@ def _execute_native_blockwise(
     return bytes(out)
 
 
+class VmemIneligible(Exception):
+    """The plan does not fit the VMEM kernel's static budget (segment or
+    staged input larger than the window bucket, too many chunks per
+    segment, or literal contexts beyond the table size)."""
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_vmem_decoder():
+    import jax
+
+    from lzma_rs_tpu.ops.vmem_decoder import decode_segments_vmem
+
+    _enable_compile_cache()
+    return jax.jit(
+        decode_segments_vmem,
+        static_argnames=("config", "max_iters", "interpret"),
+    )
+
+
+def execute_plan_vmem(
+    data: bytes,
+    plans: List[DecodePlan],
+    config=None,
+    interpret: Optional[bool] = None,
+) -> bytes:
+    """Run stream plans through the VMEM Pallas kernel
+    (``ops/vmem_decoder.py``). Each lane's window lives entirely in VMEM,
+    so every segment must fit the config's window bucket; raises
+    :class:`VmemIneligible` otherwise (callers fall back to the XLA lane
+    kernel or the host engine)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from lzma_rs_tpu.ops import vmem_decoder as vd
+
+    cfg = config or vd.KernelConfig()
+    max_lclp = int(math.log2(cfg.NLIT))
+
+    total_out = sum(p.total_out for p in plans)
+    lanes: List[LanePlan] = []
+    prefill: List[Tuple[int, int, int]] = []
+    for p in plans:
+        lanes.extend(p.lanes)
+        prefill.extend(p.prefill)
+
+    # Eligibility gate before any staging work.
+    for lane in lanes:
+        seg_len = lane.out_end[-1] - lane.seg_base
+        packed = sum(e - s for s, e in zip(lane.in_start, lane.in_end))
+        if (
+            seg_len > cfg.W
+            or packed > cfg.W_IN
+            or len(lane.in_start) > cfg.K
+            or any(lc + lp > max_lclp for lc, lp in zip(lane.lc, lane.lp))
+        ):
+            raise VmemIneligible()
+
+    out = np.zeros(total_out, dtype=np.uint8)
+    src = np.frombuffer(data, dtype=np.uint8)
+    for src_off, dst_off, n in prefill:
+        out[dst_off : dst_off + n] = src[src_off : src_off + n]
+    if not lanes:
+        return out.tobytes()
+
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    st = stats_mod.current()
+    if st is not None:
+        st.engine = "tpu-vmem"
+        st.lanes += len(lanes)
+        st.chunks += sum(len(l.in_start) for l in lanes)
+        st.prefill_bytes += sum(n for _, _, n in prefill)
+        st.packed_bytes += len(data)
+        st.unpacked_bytes += total_out
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # Iteration cap: <= 8 bits per staged input byte, one step per output
+    # byte (copies), chunk setups, and refill waits.
+    max_iters = 8 * cfg.W_IN + 2 * cfg.W + cfg.MAINT * (cfg.K + 2) + 1024
+    fn = _jitted_vmem_decoder()
+
+    L, K = cfg.L, cfg.K
+    with stats_mod.launch_timer(st):
+        for base in range(0, len(lanes), L):
+            batch = lanes[base : base + L]
+            n = len(batch)
+            inbuf = np.zeros((L, cfg.W_IN), dtype=np.uint8)
+            win_init = np.zeros((L, cfg.W), dtype=np.uint8)
+            in_start = np.zeros((L, K), dtype=np.int32)
+            in_end = np.zeros((L, K), dtype=np.int32)
+            out_start = np.zeros((L, K), dtype=np.int32)
+            out_end = np.zeros((L, K), dtype=np.int32)
+            reset_state = np.zeros((L, K), dtype=np.int32)
+            lcs = np.zeros((L, K), dtype=np.int32)
+            lps = np.zeros((L, K), dtype=np.int32)
+            pbs = np.zeros((L, K), dtype=np.int32)
+            nchunks = np.zeros((1, L), dtype=np.int32)
+            seg_lens = []
+            for i, lane in enumerate(batch):
+                seg_len = lane.out_end[-1] - lane.seg_base
+                seg_lens.append(seg_len)
+                win_init[i, :seg_len] = out[
+                    lane.seg_base : lane.seg_base + seg_len
+                ]
+                cum = 0
+                for j in range(len(lane.in_start)):
+                    s, e = lane.in_start[j], lane.in_end[j]
+                    inbuf[i, cum : cum + (e - s)] = src[s:e]
+                    in_start[i, j] = cum
+                    cum += e - s
+                    in_end[i, j] = cum
+                    out_start[i, j] = lane.out_start[j] - lane.seg_base
+                    out_end[i, j] = lane.out_end[j] - lane.seg_base
+                    reset_state[i, j] = lane.reset_state[j]
+                    lcs[i, j] = lane.lc[j]
+                    lps[i, j] = lane.lp[j]
+                    pbs[i, j] = lane.pb[j]
+                nchunks[0, i] = len(lane.in_start)
+
+            win, err, outp, iters = fn(
+                jnp.asarray(inbuf), jnp.asarray(win_init),
+                jnp.asarray(in_start), jnp.asarray(in_end),
+                jnp.asarray(out_start), jnp.asarray(out_end),
+                jnp.asarray(reset_state), jnp.asarray(lcs),
+                jnp.asarray(lps), jnp.asarray(pbs), jnp.asarray(nchunks),
+                config=cfg, max_iters=max_iters, interpret=interpret,
+            )
+            err_np = np.asarray(err)[0]
+            outp_np = np.asarray(outp)[0]
+            if st is not None:
+                st.kernel_iters += int(np.asarray(iters)[0, 0])
+            win_np = np.asarray(win)
+            for i, lane in enumerate(batch):
+                if err_np[i]:
+                    raise _KernelError(base + i, int(err_np[i]))
+                if outp_np[i] != seg_lens[i]:
+                    # iteration cap hit or a stuck lane: treat as corrupt
+                    raise _KernelError(base + i, 1)
+                out[lane.seg_base : lane.seg_base + seg_lens[i]] = win_np[
+                    i, : seg_lens[i]
+                ]
+    return out.tobytes()
+
+
 class _KernelError(Exception):
     """Internal: a lane flagged an error; host replay produces the exact
     reference error."""
@@ -417,6 +564,12 @@ class _KernelError(Exception):
         super().__init__(f"lane {lane} error code {code}")
         self.lane = lane
         self.code = code
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _host_lzma2(data: bytes) -> bytes:
@@ -442,6 +595,14 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
             return execute_plan_native(data, [plan])
         except Exception:
             # exact reference-parity error (or output) via sequential host
+            return _host_lzma2(data)
+    if engine == "tpu-vmem" or (engine == "tpu" and _on_tpu()):
+        try:
+            return execute_plan_vmem(data, [plan])
+        except VmemIneligible:
+            if engine == "tpu-vmem":
+                return _host_lzma2(data)
+        except _KernelError:
             return _host_lzma2(data)
     try:
         return execute_plan(data, [plan])
@@ -568,12 +729,26 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
         xz_fmt.check_footer(cursor, header_flags, index_size)
         return out
     else:
-        try:
-            out = execute_plan(data, plans)
-        except _KernelError:
-            from lzma_rs_tpu.models.codecs import xz_decode_stream
+        out = None
+        if engine == "tpu-vmem" or (engine == "tpu" and _on_tpu()):
+            try:
+                out = execute_plan_vmem(data, plans)
+            except VmemIneligible:
+                if engine == "tpu-vmem":
+                    from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-            return xz_decode_stream(ByteCursor(data))
+                    return xz_decode_stream(ByteCursor(data))
+            except _KernelError:
+                from lzma_rs_tpu.models.codecs import xz_decode_stream
+
+                return xz_decode_stream(ByteCursor(data))
+        if out is None:
+            try:
+                out = execute_plan(data, plans)
+            except _KernelError:
+                from lzma_rs_tpu.models.codecs import xz_decode_stream
+
+                return xz_decode_stream(ByteCursor(data))
 
     # Pass 3: verify block checks. Stream order for error determinism; the
     # hashing itself fans out across a small thread pool (zlib / native
