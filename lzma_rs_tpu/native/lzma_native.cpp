@@ -13,6 +13,7 @@
 //   lrt_crc64_update, lrt_lzma_decode, lrt_lzma2_decode,
 //   lrt_stream_* (incremental push-style decoding), lrt_free.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -880,18 +881,20 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
 // Output is a complete LZMA2 chunk stream (0x00-terminated).
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 std::string& out);
+                                 bool price_mode, std::string& out);
 
 int lrt_lzma2_compress(const char* data, size_t n, int level,
                        size_t chunk_size, void** out_buf, size_t* out_len) {
   int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 128;
+  // levels >= 4 pay for bit-price candidate selection (better ratio)
+  bool price_mode = level >= 4;
   if (chunk_size < 256) chunk_size = 256;
   if (chunk_size > 65536) chunk_size = 65536;
   std::string out;
   out.reserve(n / 3 + 64);
   if (n > 0)
     lzma2_compress_block(reinterpret_cast<const uint8_t*>(data), n, depth,
-                         /*first_block=*/1, chunk_size, out);
+                         /*first_block=*/1, chunk_size, price_mode, out);
   out.push_back('\0');
   *out_buf = dup_out(out);
   *out_len = out.size();
@@ -915,6 +918,34 @@ int lrt_lzma2_decode(const char* data, size_t n, size_t start, void** out_buf,
   *out_len = accum.out.size();
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Bit-price model for encode-side decisions: price of coding bit b with
+// probability p, in 1/64-bit units (the standard LZMA price table idea —
+// liblzma keeps the same table; only relative prices matter). Prices are
+// computed from the *current adaptive* probabilities, so the encoder's
+// choices track the model exactly as the decoder will see it.
+// ---------------------------------------------------------------------------
+
+struct ProbPriceTable {
+  uint32_t t[256];
+  ProbPriceTable() {
+    for (int i = 0; i < 256; i++) {
+      double p = (i * 8 + 4) / 2048.0;
+      t[i] = uint32_t(-std::log2(p) * 64.0 + 0.5);
+    }
+  }
+};
+const ProbPriceTable kProbPrice;
+
+inline uint32_t price0(uint16_t p) { return kProbPrice.t[p >> 3]; }
+inline uint32_t price1(uint16_t p) {
+  return kProbPrice.t[(2048 - p) >> 3];
+}
+inline uint32_t price_bit(uint16_t p, int b) {
+  return b ? price1(p) : price0(p);
+}
+constexpr uint32_t kDirectBitPrice = 64;  // one full bit
 
 // ---------------------------------------------------------------------------
 // Real LZMA encoder: greedy hash-chain match finder + full symbol coding
@@ -1006,6 +1037,133 @@ struct LzmaEncoder {
       direct(rest >> 4, ndirect - 4);
       rtree(4, layout.align, rest & 0xF);
     }
+  }
+
+  // ---- price queries (read-only mirrors of the encode methods) ---------
+
+  uint32_t ptree(int nbits, size_t base, uint32_t value) const {
+    uint32_t price = 0, tmp = 1;
+    for (int i = nbits - 1; i >= 0; i--) {
+      int b = (value >> i) & 1;
+      price += price_bit(probs[base + tmp], b);
+      tmp = (tmp << 1) ^ uint32_t(b);
+    }
+    return price;
+  }
+
+  uint32_t prtree(int nbits, size_t base, uint32_t value) const {
+    uint32_t price = 0, tmp = 1;
+    for (int i = 0; i < nbits; i++) {
+      int b = (value >> i) & 1;
+      price += price_bit(probs[base + tmp], b);
+      tmp = (tmp << 1) ^ uint32_t(b);
+    }
+    return price;
+  }
+
+  uint32_t price_len(size_t base, size_t pos_state, uint32_t lval) const {
+    if (lval < 8)
+      return price0(probs[base + kLenChoice]) +
+             ptree(3, base + kLenLow + pos_state * 8, lval);
+    if (lval < 16)
+      return price1(probs[base + kLenChoice]) +
+             price0(probs[base + kLenChoice2]) +
+             ptree(3, base + kLenMid + pos_state * 8, lval - 8);
+    return price1(probs[base + kLenChoice]) +
+           price1(probs[base + kLenChoice2]) +
+           ptree(8, base + kLenHigh, lval - 16);
+  }
+
+  uint32_t price_dist(uint32_t lval, uint32_t dist_field) const {
+    size_t len_state = lval > 3 ? 3 : lval;
+    uint32_t slot;
+    if (dist_field < 4) {
+      slot = dist_field;
+    } else {
+      int nb = 32 - __builtin_clz(dist_field);
+      slot = uint32_t((nb - 1) * 2 + ((dist_field >> (nb - 2)) & 1));
+    }
+    uint32_t price = ptree(6, layout.pos_slot + len_state * 64, slot);
+    if (slot < 4) return price;
+    int ndirect = int(slot >> 1) - 1;
+    uint32_t base = (2u | (slot & 1)) << ndirect;
+    uint32_t rest = dist_field - base;
+    if (slot < 14)
+      return price + prtree(ndirect, layout.spec_pos + size_t(base - slot),
+                            rest);
+    return price + kDirectBitPrice * uint32_t(ndirect - 4) +
+           prtree(4, layout.align, rest & 0xF);
+  }
+
+  uint32_t price_match(size_t pos_state, uint32_t len,
+                       uint32_t dist_field) const {
+    uint32_t lval = len - 2;
+    return price1(probs[layout.is_match + (size_t(state) << 4) + pos_state]) +
+           price0(probs[layout.is_rep + state]) +
+           price_len(layout.len_coder, pos_state, lval) +
+           price_dist(lval, dist_field);
+  }
+
+  uint32_t price_rep(int r, uint32_t len, size_t pos_state) const {
+    uint32_t price =
+        price1(probs[layout.is_match + (size_t(state) << 4) + pos_state]) +
+        price1(probs[layout.is_rep + state]);
+    if (r == 0) {
+      price += price0(probs[layout.is_rep_g0 + state]) +
+               price1(probs[layout.is_rep_0long + (size_t(state) << 4) +
+                            pos_state]);
+    } else {
+      price += price1(probs[layout.is_rep_g0 + state]);
+      if (r == 1) {
+        price += price0(probs[layout.is_rep_g1 + state]);
+      } else {
+        price += price1(probs[layout.is_rep_g1 + state]) +
+                 price_bit(probs[layout.is_rep_g2 + state], r == 3);
+      }
+    }
+    return price + price_len(layout.rep_len_coder, pos_state, len - 2);
+  }
+
+  uint32_t price_shortrep(size_t pos_state) const {
+    return price1(probs[layout.is_match + (size_t(state) << 4) + pos_state]) +
+           price1(probs[layout.is_rep + state]) +
+           price0(probs[layout.is_rep_g0 + state]) +
+           price0(probs[layout.is_rep_0long + (size_t(state) << 4) +
+                        pos_state]);
+  }
+
+  uint32_t price_literal(const uint8_t* block, size_t pos,
+                         size_t block_pos) const {
+    size_t pos_state = block_pos & ((size_t(1) << pb) - 1);
+    uint32_t price =
+        price0(probs[layout.is_match + (size_t(state) << 4) + pos_state]);
+    uint8_t byte = block[pos];
+    uint8_t prev = pos > 0 ? block[pos - 1] : 0;
+    size_t lit_state =
+        ((block_pos & ((size_t(1) << lp) - 1)) << lc) + (prev >> (8 - lc));
+    const uint16_t* p = &probs[layout.lit + lit_state * 0x300];
+    unsigned result = 1;
+    int i = 7;
+    if (state >= 7) {
+      unsigned match_byte = block[pos - rep[0] - 1];
+      for (; i >= 0; i--) {
+        unsigned match_bit = (match_byte >> 7) & 1;
+        match_byte = (match_byte << 1) & 0xFF;
+        int b = (byte >> i) & 1;
+        price += price_bit(p[((1 + match_bit) << 8) + result], b);
+        result = (result << 1) ^ unsigned(b);
+        if (int(match_bit) != b) {
+          i--;
+          break;
+        }
+      }
+    }
+    for (; i >= 0; i--) {
+      int b = (byte >> i) & 1;
+      price += price_bit(p[result], b);
+      result = (result << 1) ^ unsigned(b);
+    }
+    return price;
   }
 
   void literal(const uint8_t* block, size_t pos, size_t block_pos) {
@@ -1106,7 +1264,7 @@ constexpr size_t kEncDictSize = size_t(1) << 23;
 // with one-position lazy lookahead.
 static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
                                      size_t end, MatchFinder& mf,
-                                     LzmaEncoder& enc) {
+                                     LzmaEncoder& enc, bool price_mode) {
   enc.rc = RangeEncoder();
   const int pb = enc.pb;
   size_t pos = start;
@@ -1141,38 +1299,113 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
         best_rep = r;
       }
 
-    // Distance-dependent minimum length (standard LZMA heuristic: a far
-    // match must be longer to pay for its distance bits).
-    if (m_len >= 3) {
-      if ((m_len == 3 && m_dist > (1u << 12)) ||
-          (m_len == 4 && m_dist > (1u << 20)) ||
-          (m_len == 5 && m_dist > (1u << 26)))
-        m_len = 0;
-    }
-    // A rep match beats a normal match unless the normal one is at least
-    // 2 longer (rep distances cost almost nothing to code).
-    bool use_rep = best_rep_len >= 2 && best_rep_len + 1 >= m_len;
-    bool use_match = !use_rep && m_len >= 3;
-
-    // Lazy lookahead: if the match at pos+1 is longer, or as long but much
-    // nearer, emit a literal now and take the better match next iteration.
-    if (use_match && pos + 1 + 4 <= end && m_len < kMaxMatchLen) {
-      size_t lim2 = end - (pos + 1);
-      if (lim2 > kMaxMatchLen) lim2 = kMaxMatchLen;
-      auto [n_len, n_dist] = mf.find(pos + 1, max_dist + 1, lim2);
-      if (n_len > m_len ||
-          (n_len == m_len && n_dist + (n_dist >> 3) < m_dist))
+    bool use_rep, use_match;
+    if (price_mode) {
+      // Price-density selection: choose the symbol with the lowest coded
+      // bits per byte advanced, from the *current adaptive* model. The
+      // denominator makes long matches win over marginally-cheaper short
+      // ones; cross-multiplication avoids floating point.
+      uint64_t lit_price = enc.price_literal(block, pos, pos);
+      // candidates: 0 = literal, 1 = shortrep, 2 = rep, 3 = match
+      int kind = 0;
+      uint64_t best_price = lit_price;
+      uint64_t best_adv = 1;
+      auto better = [&](uint64_t price, uint64_t adv) {
+        return price * best_adv < best_price * adv;
+      };
+      if (rep_len[0] >= 1) {
+        uint64_t p = enc.price_shortrep(pos_state);
+        if (better(p, 1)) {
+          kind = 1;
+          best_price = p;
+          best_adv = 1;
+        }
+      }
+      int price_rep_idx = -1;
+      for (int r = 0; r < 4; r++) {
+        if (rep_len[r] < 2) continue;
+        uint64_t p = enc.price_rep(r, rep_len[r], pos_state);
+        if (better(p, rep_len[r])) {
+          kind = 2;
+          best_price = p;
+          best_adv = rep_len[r];
+          price_rep_idx = r;
+        }
+      }
+      if (m_len >= 2) {
+        uint64_t p = enc.price_match(pos_state, m_len, m_dist - 1);
+        if (better(p, m_len)) {
+          kind = 3;
+          best_price = p;
+          best_adv = m_len;
+        }
+      }
+      // Lazy lookahead: emitting a literal first is worth it when the
+      // match starting at pos+1 is strictly denser than this symbol.
+      if ((kind == 2 || kind == 3) && best_adv >= 2 &&
+          pos + 1 + 4 <= end) {
+        size_t lim2 = end - (pos + 1);
+        if (lim2 > kMaxMatchLen) lim2 = kMaxMatchLen;
+        auto [n_len, n_dist] = mf.find(pos + 1, max_dist + 1, lim2);
+        if (n_len > best_adv) {
+          uint64_t np = enc.price_match(pos_state, n_len, n_dist - 1);
+          if ((lit_price + np) * best_adv <
+              best_price * (1 + uint64_t(n_len))) {
+            kind = 0;
+          }
+        }
+      }
+      if (kind == 2) {
+        best_rep = price_rep_idx;
+        best_rep_len = rep_len[price_rep_idx];
+      }
+      use_rep = kind == 2;
+      use_match = kind == 3;
+      if (kind == 1) {
+        // force the short-rep branch below
+        use_rep = false;
         use_match = false;
-      // also defer to an upcoming rep match: check if pos+1 continues
-      // rep0 (cheap and common in structured data)
-      if (use_match && enc.rep[0] + 1 <= max_dist + 1 && m_len < 64) {
-        size_t d0 = size_t(enc.rep[0]) + 1;
-        if (pos + 1 >= d0) {
-          const uint8_t* q = block + pos + 1 - d0;
-          size_t l = 0;
-          size_t cap = lim2;
-          while (l < cap && q[l] == block[pos + 1 + l]) l++;
-          if (l >= size_t(m_len)) use_match = false;
+        best_rep = 0;
+        m_len = 0;
+      } else if (kind == 0) {
+        use_rep = false;
+        use_match = false;
+        best_rep = -1;  // fall through to literal
+      }
+    } else {
+      // Length heuristics (fast levels): a far match must be longer to
+      // pay for its distance bits.
+      if (m_len >= 3) {
+        if ((m_len == 3 && m_dist > (1u << 12)) ||
+            (m_len == 4 && m_dist > (1u << 20)) ||
+            (m_len == 5 && m_dist > (1u << 26)))
+          m_len = 0;
+      }
+      // A rep match beats a normal match unless the normal one is at
+      // least 2 longer (rep distances cost almost nothing to code).
+      use_rep = best_rep_len >= 2 && best_rep_len + 1 >= m_len;
+      use_match = !use_rep && m_len >= 3;
+
+      // Lazy lookahead: if the match at pos+1 is longer, or as long but
+      // much nearer, emit a literal now and take it next iteration.
+      if (use_match && pos + 1 + 4 <= end && m_len < kMaxMatchLen) {
+        size_t lim2 = end - (pos + 1);
+        if (lim2 > kMaxMatchLen) lim2 = kMaxMatchLen;
+        auto [n_len, n_dist] = mf.find(pos + 1, max_dist + 1, lim2);
+        if (n_len > m_len ||
+            (n_len == m_len && n_dist + (n_dist >> 3) < m_dist))
+          use_match = false;
+        // also defer to an upcoming rep match: check if pos+1 continues
+        // rep0 (cheap and common in structured data)
+        if (use_match && enc.rep[0] + 1 <= max_dist + 1 && m_len < 64) {
+          size_t d0 = size_t(enc.rep[0]) + 1;
+          if (pos + 1 >= d0) {
+            const uint8_t* q = block + pos + 1 - d0;
+            size_t l = 0;
+            size_t cap = lim2;
+            while (l < cap && q[l] == block[pos + 1 + l]) l++;
+            if (l >= size_t(m_len)) use_match = false;
+          }
         }
       }
     }
@@ -1243,7 +1476,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
 // chunk resets state (reset_mode 1) as the spec requires.
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 std::string& out) {
+                                 bool price_mode, std::string& out) {
   const size_t kChunk = chunk_size;
   MatchFinder mf(data, n, depth);
   LzmaEncoder enc(3, 0, 2);
@@ -1267,7 +1500,8 @@ static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
     int state_snap = enc.state;
     uint32_t rep_snap[4] = {enc.rep[0], enc.rep[1], enc.rep[2], enc.rep[3]};
 
-    std::string payload = encode_lzma_chunk(data, pos, end, mf, enc);
+    std::string payload =
+        encode_lzma_chunk(data, pos, end, mf, enc, price_mode);
     if (payload.size() + 6 < unpacked && payload.size() <= 65536) {
       int reset_mode = next_reset;
       uint32_t usz = uint32_t(unpacked - 1);

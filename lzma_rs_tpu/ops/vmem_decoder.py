@@ -14,17 +14,20 @@ one-hot select, which the VPU executes at ~2e12 element-ops/s (measured:
   768-entry context row into a working tile at symbol start, walk their
   8-11 bits against the tile, and the row merges back when the next
   literal starts (amortized over the symbol's bits).
-- the LZ window *is* the output: ``[L, W]`` u8 in VMEM. Literal appends
-  and match copies are masked one-hot writes; match-source / match-byte /
-  prev-byte reads are masked one-hot reads. ``W`` bounds the dict-reset
-  segment size this kernel accepts — the "TPU profile" (archives whose
-  reset segments are <= W, e.g. produced by our encoder with
+- the LZ window *is* the output, stored **packed**: ``[L, W/4]`` int32
+  words (4 little-endian bytes each). Mosaic reduces only over
+  i32/f32, and packing also cuts every window one-hot to a quarter of
+  the elements. Byte reads extract from the gathered word; byte writes
+  read-modify-write the target word. ``W`` bounds the dict-reset segment
+  size this kernel accepts — the "TPU profile" (archives whose reset
+  segments are <= W, e.g. produced by our encoder with
   ``block_size <= W``) decodes here; bigger-dict streams fall back to the
   XLA lane kernel or the native host engine.
-- compressed input is staged per lane (``[L, W_IN]`` u8) and read through
-  a 256-byte lookahead tile, refilled for all lanes every MAINT=64
-  iterations (consumption is <= 1 byte/lane/iteration by construction, so
-  a row-aligned tile always covers the next MAINT reads).
+- compressed input is staged per lane, packed the same way
+  (``[L, W_IN/4]`` i32), and read through a 256-byte lookahead tile,
+  refilled for all lanes every MAINT=64 iterations (consumption is <= 1
+  byte/lane/iteration by construction, so a row-aligned tile always
+  covers the next MAINT reads).
 
 Lanes = independent dict-reset segments, exactly as in the XLA kernel;
 the 19-node micro-op DFA and all symbol semantics mirror the executable
@@ -153,8 +156,8 @@ class KernelConfig:
 
 
 def decode_segments_vmem(
-    inbuf,        # [L, W_IN] u8 — per-lane staged compressed bytes
-    win_init,     # [L, W] u8 — prefilled with uncompressed chunks
+    inbuf,        # [L, W_IN//4] i32 — staged compressed bytes, LE-packed
+    win_init,     # [L, W//4] i32 — prefilled with uncompressed chunks
     in_start,     # [L, K] i32 — lane-local chunk payload offsets
     in_end,       # [L, K] i32
     out_start,    # [L, K] i32 — lane-local output offset at chunk start
@@ -172,6 +175,11 @@ def decode_segments_vmem(
     L, W, W_IN, K, TILE = cfg.L, cfg.W, cfg.W_IN, cfg.K, cfg.TILE
     LIT_W = cfg.lit_w
 
+    WIN_WORDS = W // 4
+    IN_WORDS = W_IN // 4
+    TILE_WORDS = TILE // 4
+    ROW_WORDS = 32  # 128 bytes per input row
+
     def kernel(
         in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, rs_ref,
         lc_ref, lp_ref, pb_ref, nc_ref,
@@ -182,36 +190,51 @@ def decode_segments_vmem(
         hot_ref[:] = jnp.full((L, HOT_W), PROB_INIT, _I32)
         lit_ref[:] = jnp.full((L, LIT_W), PROB_INIT, _I32)
         row_ref[:] = jnp.full((L, LIT_ROW), PROB_INIT, _I32)
-        tile_ref[:] = jnp.zeros((L, TILE), _I32)
+        tile_ref[:] = jnp.zeros((L, TILE_WORDS), _I32)
 
-        nchunks_v = nc_ref[:]
+        nchunks_v = nc_ref[0, :]
+
+        def bcol(mask):
+            """bool [L] -> [L, 1] column. Mosaic cannot insert a minor
+            dim on i1 vectors, so route the reshape through i32."""
+            return mask.astype(_I32)[:, None] == 1
 
         def onehot_read_v(table, idx, width):
             """v[l] = table[l, idx[l]]; idx [1, L]; values must be >= 0."""
             cols = jax.lax.broadcasted_iota(_I32, (L, width), 1)
-            sel = jnp.where(cols == idx.reshape(L, 1), table, 0)
-            return jnp.max(sel, axis=1).reshape(1, L)
+            sel = jnp.where(cols == idx[:, None], table, 0)
+            return jnp.max(sel, axis=1)
+
+        def onehot_read_word(table, idx, width):
+            """Packed-word read: exactly one element is selected and the
+            rest are zero, so a sum reduce recovers the (possibly
+            negative) word exactly."""
+            cols = jax.lax.broadcasted_iota(_I32, (L, width), 1)
+            sel = jnp.where(cols == idx[:, None], table, 0)
+            return jnp.sum(sel, axis=1)
 
         def win_byte(idx):
-            cols = jax.lax.broadcasted_iota(_I32, (L, W), 1)
-            sel = jnp.where(
-                cols == idx.reshape(L, 1), win_ref[:], jnp.uint8(0)
-            )
-            return jnp.max(sel, axis=1).reshape(1, L).astype(_I32)
+            word = onehot_read_word(win_ref[:], idx >> 2, WIN_WORDS)
+            sh = (idx & 3) * 8
+            return (word >> sh) & 0xFF
 
         def in_byte(inp, tile_base):
-            return onehot_read_v(tile_ref[:], inp - tile_base, TILE)
+            off = inp - tile_base
+            word = onehot_read_word(tile_ref[:], off >> 2, TILE_WORDS)
+            sh = (off & 3) * 8
+            return (word >> sh) & 0xFF
 
         def refill(inp):
-            """Row-aligned lookahead: tile[l, :] = inbuf[l, a : a + TILE]
-            with a = (inp[l] // 128) * 128, via one one-hot row select per
-            input row. Coverage after refill: >= TILE - 128 bytes past
-            inp, enough for MAINT steps of 1-byte reads plus rc-init."""
-            row0 = (inp // 128).reshape(L, 1)
+            """Row-aligned lookahead: tile[l, :] = packed
+            inbuf[l, a : a + TILE] with a = (inp[l] // 128) * 128, via one
+            one-hot row select per input row. Coverage after refill:
+            >= TILE - 128 bytes past inp, enough for MAINT steps of
+            1-byte reads plus rc-init."""
+            row0 = (inp // 128)[:, None]
             n_rows = TILE // 128
-            acc = [jnp.zeros((L, 128), _I32) for _ in range(n_rows)]
-            for r in range(W_IN // 128):
-                chunk = in_ref[:, r * 128:(r + 1) * 128].astype(_I32)
+            acc = [jnp.zeros((L, ROW_WORDS), _I32) for _ in range(n_rows)]
+            for r in range(IN_WORDS // ROW_WORDS):
+                chunk = in_ref[:, r * ROW_WORDS:(r + 1) * ROW_WORDS]
                 for t in range(n_rows):
                     acc[t] = jnp.where(row0 + t == r, chunk, acc[t])
             tile_ref[:] = jnp.concatenate(acc, axis=1)
@@ -246,29 +269,20 @@ def decode_segments_vmem(
             match_bit0 = (mbyte >> 7) & 1
             len_base = jnp.where(len_rep == 1, HOT_REP_LEN, HOT_LEN)
             # `tmp` holds the tree base for LEN/POS/SPEC/ALIGN walks.
-            hot_idx = jnp.select(
-                [
-                    node0 == N_ISMATCH,
-                    node0 == N_ISREP,
-                    node0 == N_ISREPG0,
-                    node0 == N_ISREP0LONG,
-                    node0 == N_ISREPG1,
-                    node0 == N_ISREPG2,
-                    node0 == N_LEN_CHOICE,
-                    node0 == N_LEN_CHOICE2,
-                ],
-                [
-                    HOT_IS_MATCH + st4,
-                    HOT_IS_REP + state,
-                    HOT_IS_REP_G0 + state,
-                    HOT_IS_REP_0LONG + st4,
-                    HOT_IS_REP_G1 + state,
-                    HOT_IS_REP_G2 + state,
-                    len_base,
-                    len_base + 1,
-                ],
-                tmp + acc,  # N_LEN_TREE, N_POSSLOT, N_SPECPOS, N_ALIGN
-            )
+            # (where-chain, not jnp.select: select lowers via argmax,
+            # which Mosaic only supports for f32)
+            hot_idx = tmp + acc  # N_LEN_TREE, N_POSSLOT, N_SPECPOS, N_ALIGN
+            for cond, val in (
+                (node0 == N_ISMATCH, HOT_IS_MATCH + st4),
+                (node0 == N_ISREP, HOT_IS_REP + state),
+                (node0 == N_ISREPG0, HOT_IS_REP_G0 + state),
+                (node0 == N_ISREP0LONG, HOT_IS_REP_0LONG + st4),
+                (node0 == N_ISREPG1, HOT_IS_REP_G1 + state),
+                (node0 == N_ISREPG2, HOT_IS_REP_G2 + state),
+                (node0 == N_LEN_CHOICE, len_base),
+                (node0 == N_LEN_CHOICE2, len_base + 1),
+            ):
+                hot_idx = jnp.where(cond, val, hot_idx)
             hot_idx = jnp.clip(hot_idx, 0, HOT_TOTAL - 1)
             lit_idx = jnp.where(
                 node0 == N_LITM, ((1 + match_bit0) << 8) + acc, acc
@@ -288,13 +302,11 @@ def decode_segments_vmem(
             ).astype(_I32)
 
             hot_cols = jax.lax.broadcasted_iota(_I32, (L, HOT_W), 1)
-            hm = (hot_cols == hot_idx.reshape(L, 1)) & is_hot.reshape(L, 1)
-            hot_ref[:] = jnp.where(hm, new_p.reshape(L, 1), hot)
+            hm = (hot_cols == hot_idx[:, None]) & bcol(is_hot)
+            hot_ref[:] = jnp.where(hm, new_p[:, None], hot)
             row_cols = jax.lax.broadcasted_iota(_I32, (L, LIT_ROW), 1)
-            rm = (row_cols == lit_idx.reshape(L, 1)) & is_lit_node.reshape(
-                L, 1
-            )
-            row_ref[:] = jnp.where(rm, new_p.reshape(L, 1), row_ref[:])
+            rm = (row_cols == lit_idx[:, None]) & bcol(is_lit_node)
+            row_ref[:] = jnp.where(rm, new_p[:, None], row_ref[:])
 
             rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
             cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
@@ -381,10 +393,10 @@ def decode_segments_vmem(
             new_row = row_v
             for c in range(cfg.NLIT):
                 seg = lit_ref[:, c * LIT_ROW:(c + 1) * LIT_ROW]
-                m_out = (swap & (lit_ctx == c)).reshape(L, 1)
+                m_out = bcol(swap & (lit_ctx == c))
                 seg2 = jnp.where(m_out, row_v, seg)
                 lit_ref[:, c * LIT_ROW:(c + 1) * LIT_ROW] = seg2
-                m_in = (swap & (new_ctx == c)).reshape(L, 1)
+                m_in = bcol(swap & (new_ctx == c))
                 new_row = jnp.where(m_in, seg2, new_row)
             row_ref[:] = new_row
             lit_ctx = new_ctx
@@ -596,13 +608,16 @@ def decode_segments_vmem(
             node, err = end_symbol(copy_done, node, err, outp + 1)
 
             # -------- combined window write (literal emit OR copy byte) ----
+            # packed read-modify-write of the target word
             wmask = done_lit | m_w
             wval = jnp.where(done_lit, lit_emit, copy_val)
-            wc = jax.lax.broadcasted_iota(_I32, (L, W), 1)
-            sel = (wc == outp.reshape(L, 1)) & wmask.reshape(L, 1)
-            win_ref[:] = jnp.where(
-                sel, wval.reshape(L, 1).astype(jnp.uint8), win_ref[:]
-            )
+            widx = outp >> 2
+            sh = (outp & 3) * 8
+            old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
+            new_w = (old_w & ~(jnp.int32(0xFF) << sh)) | (wval << sh)
+            wc = jax.lax.broadcasted_iota(_I32, (L, WIN_WORDS), 1)
+            sel = (wc == widx[:, None]) & bcol(wmask)
+            win_ref[:] = jnp.where(sel, new_w[:, None], win_ref[:])
             outp = jnp.where(wmask, outp + 1, outp)
 
             # -------- Stage E: chunk setup ----------------------------------
@@ -643,7 +658,7 @@ def decode_segments_vmem(
 
             @pl.when(jnp.any(do_reset))
             def _():
-                rmask = do_reset.reshape(L, 1)
+                rmask = bcol(do_reset)
                 hot_ref[:] = jnp.where(rmask, PROB_INIT, hot_ref[:])
                 lit_ref[:] = jnp.where(rmask, PROB_INIT, lit_ref[:])
                 row_ref[:] = jnp.where(rmask, PROB_INIT, row_ref[:])
@@ -683,11 +698,11 @@ def decode_segments_vmem(
             it = carry[-1]
             return jnp.any(node < N_DONE) & (it < max_iters)
 
-        z = jnp.zeros((1, L), _I32)
+        z = jnp.zeros((L,), _I32)
         init = (
-            jnp.full((1, L), N_CHUNK, _I32),   # node
+            jnp.full((L,), N_CHUNK, _I32),   # node
             z,                                  # err
-            jnp.full((1, L), -1, _I32),         # rng
+            jnp.full((L,), -1, _I32),         # rng
             z,                                  # cod
             z,                                  # inp
             z,                                  # inend
@@ -710,12 +725,12 @@ def decode_segments_vmem(
             jnp.zeros((), _I32),                # it (scalar step counter)
         )
         final = jax.lax.while_loop(cond, step, init)
-        err_ref[:] = final[1]
-        outp_ref[:] = final[6]
-        iters_ref[:] = jnp.zeros((1, L), _I32) + final[-1]
+        err_ref[:] = final[1][None, :]
+        outp_ref[:] = final[6][None, :]
+        iters_ref[:] = (jnp.zeros((L,), _I32) + final[-1])[None, :]
 
     out_shapes = (
-        jax.ShapeDtypeStruct((L, W), jnp.uint8),    # win
+        jax.ShapeDtypeStruct((L, W // 4), jnp.int32),  # win (packed)
         jax.ShapeDtypeStruct((1, L), jnp.int32),     # err
         jax.ShapeDtypeStruct((1, L), jnp.int32),     # outp
         jax.ShapeDtypeStruct((1, L), jnp.int32),     # iters
@@ -731,7 +746,7 @@ def decode_segments_vmem(
             pltpu.VMEM((L, HOT_W), jnp.int32),      # hot probs
             pltpu.VMEM((L, LIT_W), jnp.int32),       # literal probs
             pltpu.VMEM((L, LIT_ROW), jnp.int32),     # working literal row
-            pltpu.VMEM((L, TILE), jnp.int32),        # input lookahead
+            pltpu.VMEM((L, TILE // 4), jnp.int32),   # input lookahead
         ],
         interpret=interpret,
     )(

@@ -531,8 +531,13 @@ def execute_plan_vmem(
                     pbs[i, j] = lane.pb[j]
                 nchunks[0, i] = len(lane.in_start)
 
+            # pack bytes as little-endian i32 words (the kernel's window
+            # and input layout: 4x fewer elements per one-hot, and Mosaic
+            # reduces natively over i32)
+            inbuf_w = np.ascontiguousarray(inbuf).view("<i4")
+            win_w = np.ascontiguousarray(win_init).view("<i4")
             win, err, outp, iters = fn(
-                jnp.asarray(inbuf), jnp.asarray(win_init),
+                jnp.asarray(inbuf_w), jnp.asarray(win_w),
                 jnp.asarray(in_start), jnp.asarray(in_end),
                 jnp.asarray(out_start), jnp.asarray(out_end),
                 jnp.asarray(reset_state), jnp.asarray(lcs),
@@ -543,7 +548,11 @@ def execute_plan_vmem(
             outp_np = np.asarray(outp)[0]
             if st is not None:
                 st.kernel_iters += int(np.asarray(iters)[0, 0])
-            win_np = np.asarray(win)
+            win_np = (
+                np.ascontiguousarray(np.asarray(win))
+                .view(np.uint8)
+                .reshape(L, cfg.W)
+            )
             for i, lane in enumerate(batch):
                 if err_np[i]:
                     raise _KernelError(base + i, int(err_np[i]))
@@ -659,7 +668,12 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
         return xz_decode_stream(ByteCursor(data))
 
 
-def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
+def plan_xz(data: bytes):
+    """Pass 1 of `.xz` decode: walk the container (headers + chunk tables,
+    no payload decoding) and return
+    ``(plans, block_spans, header_flags, records, cursor)`` with the
+    cursor parked at the index. Each block's plan carries absolute output
+    offsets, so placement is known before any decode."""
     cursor = ByteCursor(data)
     header_flags = xz_fmt.parse_stream_header(cursor)
 
@@ -668,7 +682,6 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
     records: List[xz_fmt.Record] = []
     out_base = 0
 
-    # Pass 1: walk block headers + chunk tables (no payload decoding).
     while True:
         block_start = cursor.pos
         info = xz_fmt.read_block_header_at(cursor)
@@ -711,6 +724,11 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
         )
         out_base += plan.total_out
 
+    return plans, block_spans, header_flags, records, cursor
+
+
+def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
+    plans, block_spans, header_flags, records, cursor = plan_xz(data)
     index_size = xz_fmt.check_index(cursor, records)
 
     # Pass 2: decode all blocks in one parallel launch. The native engine
