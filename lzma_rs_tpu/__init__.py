@@ -188,6 +188,18 @@ class _DecompressMeta(type):
 
         return _Stream
 
+    @property
+    def Lzma2Stream(cls):
+        from lzma_rs_tpu.streams2 import Lzma2Stream as _S
+
+        return _S
+
+    @property
+    def XzStream(cls):
+        from lzma_rs_tpu.streams2 import XzStream as _S
+
+        return _S
+
 
 class decompress(metaclass=_DecompressMeta):  # noqa: N801 — `lzma_rs::decompress`
     """Decompression options / streaming / raw namespace."""
@@ -203,6 +215,12 @@ def __getattr__(name):
         from lzma_rs_tpu.stream import Stream
 
         return Stream
+    if name in ("Lzma2Stream", "XzStream"):
+        import importlib
+
+        return getattr(
+            importlib.import_module("lzma_rs_tpu.streams2"), name
+        )
     if name == "raw":
         import importlib
 

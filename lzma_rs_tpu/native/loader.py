@@ -93,6 +93,28 @@ class NativeLib:
             ctypes.POINTER(ctypes.c_size_t),
         ]
 
+        lib.lrt_l2stream_new.restype = ctypes.c_void_p
+        lib.lrt_l2stream_new.argtypes = []
+        lib.lrt_l2stream_delete.restype = None
+        lib.lrt_l2stream_delete.argtypes = [ctypes.c_void_p]
+        lib.lrt_l2stream_chunk.restype = ctypes.c_int
+        lib.lrt_l2stream_chunk.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,     # kind: 0 lzma, 1 uncompressed
+            ctypes.c_uint64,  # unpacked size
+            ctypes.c_int,     # reset mode
+            ctypes.c_int,     # props byte or -1
+            ctypes.c_char_p,
+        ]
+        lib.lrt_l2stream_take_output.restype = ctypes.c_int
+        lib.lrt_l2stream_take_output.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+
         self.LrtChunk = LrtChunk
         lib.lrt_lzma2_decode_segment.restype = ctypes.c_int
         lib.lrt_lzma2_decode_segment.argtypes = [
@@ -193,6 +215,37 @@ class NativeLib:
         if rc != 0:
             msg = err.value.decode("utf-8", "replace")
             raise IoError(msg) if rc == 2 else LzmaError(msg)
+
+    # -- incremental LZMA2 (chunk-granular streaming) ----------------------
+
+    def l2stream_new(self):
+        return self._lib.lrt_l2stream_new()
+
+    def l2stream_delete(self, handle) -> None:
+        self._lib.lrt_l2stream_delete(handle)
+
+    def l2stream_chunk(
+        self, handle, payload: bytes, kind: int, unpacked: int,
+        reset_mode: int, props: int,
+    ) -> None:
+        from lzma_rs_tpu.utils.errors import IoError, LzmaError
+
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.lrt_l2stream_chunk(
+            handle, payload, len(payload), kind, unpacked, reset_mode,
+            props, err,
+        )
+        if rc != 0:
+            msg = err.value.decode("utf-8", "replace")
+            raise IoError(msg) if rc == 2 else LzmaError(msg)
+
+    def l2stream_take(self, handle) -> bytes:
+        buf = ctypes.c_void_p()
+        n = ctypes.c_size_t()
+        self._lib.lrt_l2stream_take_output(
+            handle, ctypes.byref(buf), ctypes.byref(n)
+        )
+        return self._take(buf, n)
 
     def lzma2_decode_at(self, data: bytes, start: int):
         from lzma_rs_tpu.utils.errors import IoError, LzmaError

@@ -1641,6 +1641,102 @@ int lrt_lzma2_decode_segment(const char* data, size_t n,
 }
 
 // ---------------------------------------------------------------------------
+// Incremental LZMA2 decoding: one complete chunk per call. The Python
+// layer parses chunk headers from its input buffer (sizes are in the
+// 5/6-byte headers) and feeds full payloads; decoder state (probability
+// model, window, reps) persists across calls exactly as in the one-shot
+// chunk loop above. This powers the chunk-granular LZMA2/.xz streaming
+// API — a capability beyond the reference, which only streams raw LZMA
+// (/root/reference/src/decode/stream.rs).
+// ---------------------------------------------------------------------------
+
+struct LrtL2Stream {
+  DecoderState st;
+  OutputBuffer accum;  // accum mode (LzAccumBuffer semantics)
+  size_t out_read = 0;
+  LrtL2Stream() { st.init(0, 0, 0); }
+};
+
+void* lrt_l2stream_new() { return new LrtL2Stream(); }
+void lrt_l2stream_delete(void* h) { delete static_cast<LrtL2Stream*>(h); }
+
+// kind: 0 = LZMA chunk (payload = range-coded bytes), 1 = uncompressed.
+// reset_mode: LZMA chunks 0..3 per the control byte; uncompressed chunks
+// 1 = dict reset (control 0x01), 0 = none (control 0x02).
+// props: -1 = keep current, else the raw props byte.
+int lrt_l2stream_chunk(void* h, const char* payload, size_t n, int kind,
+                       uint64_t unpacked, int reset_mode, int props,
+                       char* err_buf) {
+  auto* s = static_cast<LrtL2Stream*>(h);
+  Err e;
+  if (kind == 1) {
+    if (reset_mode) s->accum.reset_accum();
+    s->accum.buf.insert(s->accum.buf.end(),
+                        reinterpret_cast<const uint8_t*>(payload),
+                        reinterpret_cast<const uint8_t*>(payload) + n);
+    s->accum.len += n;
+    return 0;
+  }
+  if (reset_mode == 3) s->accum.reset_accum();
+  if (reset_mode >= 1) {
+    int lc = s->st.lc, lp = s->st.lp, pb = s->st.pb;
+    if (reset_mode >= 2) {
+      if (props < 0 || props >= 225) {
+        e = {1, "LZMA2 invalid properties: " + std::to_string(props) +
+                    " must be < 225"};
+        set_err(err_buf, e);
+        return e.code;
+      }
+      unsigned p = unsigned(props);
+      lc = p % 9;
+      p /= 9;
+      lp = p % 5;
+      pb = p / 5;
+      if (lc + lp > 4) {
+        e = {1, "LZMA2 invalid properties: lc + lp (" + std::to_string(lc) +
+                    " + " + std::to_string(lp) + ") must be <= 4"};
+        set_err(err_buf, e);
+        return e.code;
+      }
+    }
+    s->st.init(lc, lp, pb);
+  }
+  s->st.has_unpacked = true;
+  s->st.unpacked_size = unpacked + s->accum.len;
+
+  RangeDecoder rc{reinterpret_cast<const uint8_t*>(payload), 0, n};
+  Err ie;
+  if (!rc.init(ie)) {
+    Err w{1, std::string("LZMA input too short: ") + ie.msg};
+    set_err(err_buf, w);
+    return 1;
+  }
+  if (!s->st.process_mode(s->accum, rc, false, e)) {
+    set_err(err_buf, e);
+    return e.code;
+  }
+  return 0;
+}
+
+// Drain output produced so far (flushed + live window).
+int lrt_l2stream_take_output(void* h, void** buf, size_t* len) {
+  auto* s = static_cast<LrtL2Stream*>(h);
+  // accum mode: everything lives in out after reset flushes; the live
+  // window (buf) holds the current dict region — expose both.
+  std::string total = s->accum.out;
+  total.append(reinterpret_cast<const char*>(s->accum.buf.data()),
+               s->accum.buf.size());
+  size_t avail = total.size() - s->out_read;
+  char* p = static_cast<char*>(malloc(avail ? avail : 1));
+  if (!p) return 1;
+  memcpy(p, total.data() + s->out_read, avail);
+  s->out_read = total.size();
+  *buf = p;
+  *len = avail;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Incremental push-style decoding for the Stream API (stream.rs semantics).
 // The Python layer parses the header and creates the run state with the
 // initial (range, code); feed() runs Partial mode, finish() runs Finish.

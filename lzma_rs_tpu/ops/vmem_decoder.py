@@ -156,14 +156,14 @@ class KernelConfig:
 
 
 def decode_segments_vmem(
-    inbuf,        # [L, W_IN//4] i32 — staged compressed bytes, LE-packed
-    win_init,     # [L, W//4] i32 — prefilled with uncompressed chunks
-    in_start,     # [L, K] i32 — lane-local chunk payload offsets
-    in_end,       # [L, K] i32
-    out_start,    # [L, K] i32 — lane-local output offset at chunk start
-    out_end,      # [L, K] i32
-    reset_state,  # [L, K] i32
-    lcs, lps, pbs,  # [L, K] i32
+    inbuf,        # [W_IN//4, L] i32 — staged compressed bytes, LE-packed
+    win_init,     # [W//4, L] i32 — prefilled with uncompressed chunks
+    in_start,     # [K, L] i32 — lane-local chunk payload offsets
+    in_end,       # [K, L] i32
+    out_start,    # [K, L] i32 — lane-local output offset at chunk start
+    out_end,      # [K, L] i32
+    reset_state,  # [K, L] i32
+    lcs, lps, pbs,  # [K, L] i32
     nchunks,      # [1, L] i32
     *,
     config: KernelConfig,
@@ -187,42 +187,52 @@ def decode_segments_vmem(
         hot_ref, lit_ref, row_ref, tile_ref,
     ):
         win_ref[:] = win_in_ref[:]
-        hot_ref[:] = jnp.full((L, HOT_W), PROB_INIT, _I32)
-        lit_ref[:] = jnp.full((L, LIT_W), PROB_INIT, _I32)
-        row_ref[:] = jnp.full((L, LIT_ROW), PROB_INIT, _I32)
-        tile_ref[:] = jnp.zeros((L, TILE_WORDS), _I32)
+        hot_ref[:] = jnp.full((HOT_W, L), PROB_INIT, _I32)
+        lit_ref[:] = jnp.full((LIT_W, L), PROB_INIT, _I32)
+        row_ref[:] = jnp.full((LIT_ROW, L), PROB_INIT, _I32)
+        tile_ref[:] = jnp.zeros((TILE_WORDS, L), _I32)
 
         nchunks_v = nc_ref[0, :]
 
-        def bcol(mask):
-            """bool [L] -> [L, 1] column. Mosaic cannot insert a minor
-            dim on i1 vectors, so route the reshape through i32."""
-            return mask.astype(_I32)[:, None] == 1
+        # All tables are stored TRANSPOSED — [W, L] with lanes on the
+        # minor axis — because Mosaic cannot relayout a loop-carried
+        # [L] vector onto sublanes ([:, None] transposes do not lower);
+        # broadcasting along the major axis () is free.
 
         def onehot_read_v(table, idx, width):
-            """v[l] = table[l, idx[l]]; idx [1, L]; values must be >= 0."""
-            cols = jax.lax.broadcasted_iota(_I32, (L, width), 1)
-            sel = jnp.where(cols == idx[:, None], table, 0)
-            return jnp.max(sel, axis=1)
+            """v[l] = table[idx[l], l]; idx [L]; values must be >= 0."""
+            rows = jax.lax.broadcasted_iota(_I32, (width, L), 0)
+            sel = jnp.where(rows == idx[None, :], table, 0)
+            return jnp.max(sel, axis=0)
 
         def onehot_read_word(table, idx, width):
             """Packed-word read: exactly one element is selected and the
             rest are zero, so a sum reduce recovers the (possibly
             negative) word exactly."""
-            cols = jax.lax.broadcasted_iota(_I32, (L, width), 1)
-            sel = jnp.where(cols == idx[:, None], table, 0)
-            return jnp.sum(sel, axis=1)
+            rows = jax.lax.broadcasted_iota(_I32, (width, L), 0)
+            sel = jnp.where(rows == idx[None, :], table, 0)
+            return jnp.sum(sel, axis=0)
+
+        def _extract_byte(word, k):
+            # constant-shift 4-way select: per-lane variable shifts are
+            # 2x slower in Mosaic (tools/probe_mosaic3.py P11)
+            return jnp.where(
+                k == 0, word & 0xFF,
+                jnp.where(
+                    k == 1, (word >> 8) & 0xFF,
+                    jnp.where(k == 2, (word >> 16) & 0xFF,
+                              (word >> 24) & 0xFF),
+                ),
+            )
 
         def win_byte(idx):
             word = onehot_read_word(win_ref[:], idx >> 2, WIN_WORDS)
-            sh = (idx & 3) * 8
-            return (word >> sh) & 0xFF
+            return _extract_byte(word, idx & 3)
 
         def in_byte(inp, tile_base):
             off = inp - tile_base
             word = onehot_read_word(tile_ref[:], off >> 2, TILE_WORDS)
-            sh = (off & 3) * 8
-            return (word >> sh) & 0xFF
+            return _extract_byte(word, off & 3)
 
         def refill(inp):
             """Row-aligned lookahead: tile[l, :] = packed
@@ -230,29 +240,26 @@ def decode_segments_vmem(
             one-hot row select per input row. Coverage after refill:
             >= TILE - 128 bytes past inp, enough for MAINT steps of
             1-byte reads plus rc-init."""
-            row0 = (inp // 128)[:, None]
+            row0 = (inp // 128)[None, :]
             n_rows = TILE // 128
-            acc = [jnp.zeros((L, ROW_WORDS), _I32) for _ in range(n_rows)]
+            acc = [jnp.zeros((ROW_WORDS, L), _I32) for _ in range(n_rows)]
             for r in range(IN_WORDS // ROW_WORDS):
-                chunk = in_ref[:, r * ROW_WORDS:(r + 1) * ROW_WORDS]
+                chunk = in_ref[r * ROW_WORDS:(r + 1) * ROW_WORDS, :]
                 for t in range(n_rows):
                     acc[t] = jnp.where(row0 + t == r, chunk, acc[t])
-            tile_ref[:] = jnp.concatenate(acc, axis=1)
+            tile_ref[:] = jnp.concatenate(acc, axis=0)
 
-        def step(carry):
+        def step(_, carry):
+            # one DFA micro-op per lane; runs MAINT times per outer
+            # maintenance iteration (see the loop nest at the bottom —
+            # refill cannot live under pl.when: broadcasts of carried
+            # vectors inside a when-region hit an unimplemented Mosaic
+            # replication relayout, while the same code at while-body
+            # top level lowers fine)
             (node0, err, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
              mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
              tile_base, it) = carry
-
-            # -------- maintenance: refill the lookahead every MAINT steps
-            do_maint = (it % cfg.MAINT) == 0
-
-            @pl.when(do_maint)
-            def _():
-                refill(inp)
-
-            tile_base = jnp.where(do_maint, (inp // 128) * 128, tile_base)
 
             hot = hot_ref[:]
 
@@ -301,12 +308,12 @@ def decode_segments_vmem(
                 prob_bit == 1, p - (p >> 5), p + ((_U32(0x800) - p) >> 5)
             ).astype(_I32)
 
-            hot_cols = jax.lax.broadcasted_iota(_I32, (L, HOT_W), 1)
-            hm = (hot_cols == hot_idx[:, None]) & bcol(is_hot)
-            hot_ref[:] = jnp.where(hm, new_p[:, None], hot)
-            row_cols = jax.lax.broadcasted_iota(_I32, (L, LIT_ROW), 1)
-            rm = (row_cols == lit_idx[:, None]) & bcol(is_lit_node)
-            row_ref[:] = jnp.where(rm, new_p[:, None], row_ref[:])
+            hot_rows = jax.lax.broadcasted_iota(_I32, (HOT_W, L), 0)
+            hm = (hot_rows == hot_idx[None, :]) & is_hot[None, :]
+            hot_ref[:] = jnp.where(hm, new_p[None, :], hot)
+            row_rows = jax.lax.broadcasted_iota(_I32, (LIT_ROW, L), 0)
+            rm = (row_rows == lit_idx[None, :]) & is_lit_node[None, :]
+            row_ref[:] = jnp.where(rm, new_p[None, :], row_ref[:])
 
             rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
             cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
@@ -392,11 +399,11 @@ def decode_segments_vmem(
             row_v = row_ref[:]
             new_row = row_v
             for c in range(cfg.NLIT):
-                seg = lit_ref[:, c * LIT_ROW:(c + 1) * LIT_ROW]
-                m_out = bcol(swap & (lit_ctx == c))
+                seg = lit_ref[c * LIT_ROW:(c + 1) * LIT_ROW, :]
+                m_out = (swap & (lit_ctx == c))[None, :]
                 seg2 = jnp.where(m_out, row_v, seg)
-                lit_ref[:, c * LIT_ROW:(c + 1) * LIT_ROW] = seg2
-                m_in = bcol(swap & (new_ctx == c))
+                lit_ref[c * LIT_ROW:(c + 1) * LIT_ROW, :] = seg2
+                m_in = (swap & (new_ctx == c))[None, :]
                 new_row = jnp.where(m_in, seg2, new_row)
             row_ref[:] = new_row
             lit_ctx = new_ctx
@@ -612,12 +619,23 @@ def decode_segments_vmem(
             wmask = done_lit | m_w
             wval = jnp.where(done_lit, lit_emit, copy_val)
             widx = outp >> 2
-            sh = (outp & 3) * 8
+            k = outp & 3
             old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
-            new_w = (old_w & ~(jnp.int32(0xFF) << sh)) | (wval << sh)
-            wc = jax.lax.broadcasted_iota(_I32, (L, WIN_WORDS), 1)
-            sel = (wc == widx[:, None]) & bcol(wmask)
-            win_ref[:] = jnp.where(sel, new_w[:, None], win_ref[:])
+            new_w = jnp.where(
+                k == 0, (old_w & ~0xFF) | wval,
+                jnp.where(
+                    k == 1,
+                    (old_w & ~(0xFF << 8)) | (wval << 8),
+                    jnp.where(
+                        k == 2,
+                        (old_w & ~(0xFF << 16)) | (wval << 16),
+                        (old_w & jnp.int32(0x00FFFFFF)) | (wval << 24),
+                    ),
+                ),
+            )
+            wr = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, L), 0)
+            sel = (wr == widx[None, :]) & wmask[None, :]
+            win_ref[:] = jnp.where(sel, new_w[None, :], win_ref[:])
             outp = jnp.where(wmask, outp + 1, outp)
 
             # -------- Stage E: chunk setup ----------------------------------
@@ -656,9 +674,9 @@ def decode_segments_vmem(
 
             do_reset = go & (creset == 1)
 
-            @pl.when(jnp.any(do_reset))
+            @pl.when(jnp.max(do_reset.astype(_I32)) == 1)
             def _():
-                rmask = bcol(do_reset)
+                rmask = do_reset[None, :]
                 hot_ref[:] = jnp.where(rmask, PROB_INIT, hot_ref[:])
                 lit_ref[:] = jnp.where(rmask, PROB_INIT, lit_ref[:])
                 row_ref[:] = jnp.where(rmask, PROB_INIT, row_ref[:])
@@ -693,10 +711,35 @@ def decode_segments_vmem(
                     dist, mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
                     tile_base, it + 1)
 
+        def outer_body(carry):
+            # maintenance at while-body top level (NOT under pl.when —
+            # see step()'s note), then MAINT DFA micro-ops. Input
+            # consumption is <= 1 byte/step, so the freshly aligned tile
+            # covers every read until the next refill. The inner loop is
+            # a while_loop, not fori/scan: vectors carried across a scan
+            # boundary hit Mosaic's unimplemented sublane broadcast.
+            inp = carry[4]
+            refill(inp)
+            tile_base = (inp // 128) * 128
+            carry = carry[:26] + (tile_base,) + carry[27:]
+            j0 = jnp.int32(0)
+
+            def inner_cond(jc):
+                return jc[0] < cfg.MAINT
+
+            def inner_body(jc):
+                j, inner = jc
+                return (j + 1, step(None, inner))
+
+            _, carry = jax.lax.while_loop(inner_cond, inner_body,
+                                          (j0, carry))
+            return carry
+
         def cond(carry):
             node = carry[0]
             it = carry[-1]
-            return jnp.any(node < N_DONE) & (it < max_iters)
+            active = jnp.max(jnp.where(node < N_DONE, 1, 0))
+            return (active == 1) & (it < max_iters)
 
         z = jnp.zeros((L,), _I32)
         init = (
@@ -724,13 +767,13 @@ def decode_segments_vmem(
             z,                                  # tile_base
             jnp.zeros((), _I32),                # it (scalar step counter)
         )
-        final = jax.lax.while_loop(cond, step, init)
+        final = jax.lax.while_loop(cond, outer_body, init)
         err_ref[:] = final[1][None, :]
         outp_ref[:] = final[6][None, :]
         iters_ref[:] = (jnp.zeros((L,), _I32) + final[-1])[None, :]
 
     out_shapes = (
-        jax.ShapeDtypeStruct((L, W // 4), jnp.int32),  # win (packed)
+        jax.ShapeDtypeStruct((W // 4, L), jnp.int32),  # win (packed, transposed)
         jax.ShapeDtypeStruct((1, L), jnp.int32),     # err
         jax.ShapeDtypeStruct((1, L), jnp.int32),     # outp
         jax.ShapeDtypeStruct((1, L), jnp.int32),     # iters
@@ -743,10 +786,10 @@ def decode_segments_vmem(
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
         ),
         scratch_shapes=[
-            pltpu.VMEM((L, HOT_W), jnp.int32),      # hot probs
-            pltpu.VMEM((L, LIT_W), jnp.int32),       # literal probs
-            pltpu.VMEM((L, LIT_ROW), jnp.int32),     # working literal row
-            pltpu.VMEM((L, TILE // 4), jnp.int32),   # input lookahead
+            pltpu.VMEM((HOT_W, L), jnp.int32),      # hot probs
+            pltpu.VMEM((LIT_W, L), jnp.int32),       # literal probs
+            pltpu.VMEM((LIT_ROW, L), jnp.int32),     # working literal row
+            pltpu.VMEM((TILE // 4, L), jnp.int32),   # input lookahead
         ],
         interpret=interpret,
     )(

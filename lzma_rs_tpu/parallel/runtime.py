@@ -531,17 +531,18 @@ def execute_plan_vmem(
                     pbs[i, j] = lane.pb[j]
                 nchunks[0, i] = len(lane.in_start)
 
-            # pack bytes as little-endian i32 words (the kernel's window
-            # and input layout: 4x fewer elements per one-hot, and Mosaic
-            # reduces natively over i32)
-            inbuf_w = np.ascontiguousarray(inbuf).view("<i4")
-            win_w = np.ascontiguousarray(win_init).view("<i4")
+            # pack bytes as little-endian i32 words and transpose to the
+            # kernel's [W, L] layout (lanes on the minor axis: 4x fewer
+            # one-hot elements from packing, no lane->sublane relayouts)
+            inbuf_w = np.ascontiguousarray(inbuf).view("<i4").T
+            win_w = np.ascontiguousarray(win_init).view("<i4").T
             win, err, outp, iters = fn(
                 jnp.asarray(inbuf_w), jnp.asarray(win_w),
-                jnp.asarray(in_start), jnp.asarray(in_end),
-                jnp.asarray(out_start), jnp.asarray(out_end),
-                jnp.asarray(reset_state), jnp.asarray(lcs),
-                jnp.asarray(lps), jnp.asarray(pbs), jnp.asarray(nchunks),
+                jnp.asarray(in_start.T), jnp.asarray(in_end.T),
+                jnp.asarray(out_start.T), jnp.asarray(out_end.T),
+                jnp.asarray(reset_state.T), jnp.asarray(lcs.T),
+                jnp.asarray(lps.T), jnp.asarray(pbs.T),
+                jnp.asarray(nchunks),
                 config=cfg, max_iters=max_iters, interpret=interpret,
             )
             err_np = np.asarray(err)[0]
@@ -549,7 +550,7 @@ def execute_plan_vmem(
             if st is not None:
                 st.kernel_iters += int(np.asarray(iters)[0, 0])
             win_np = (
-                np.ascontiguousarray(np.asarray(win))
+                np.ascontiguousarray(np.asarray(win).T)
                 .view(np.uint8)
                 .reshape(L, cfg.W)
             )
