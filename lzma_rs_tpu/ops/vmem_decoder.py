@@ -164,7 +164,7 @@ def decode_segments_vmem(
     out_end,      # [K, L] i32
     reset_state,  # [K, L] i32
     lcs, lps, pbs,  # [K, L] i32
-    nchunks,      # [1, L] i32
+    valid,        # [K, L] i32 — 1 for live chunk slots, 0 for padding
     *,
     config: KernelConfig,
     max_iters: int,
@@ -182,7 +182,7 @@ def decode_segments_vmem(
 
     def kernel(
         in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, rs_ref,
-        lc_ref, lp_ref, pb_ref, nc_ref,
+        lc_ref, lp_ref, pb_ref, va_ref,
         win_ref, err_ref, outp_ref, iters_ref,
         hot_ref, lit_ref, row_ref, tile_ref,
     ):
@@ -192,7 +192,6 @@ def decode_segments_vmem(
         row_ref[:] = jnp.full((LIT_ROW, L), PROB_INIT, _I32)
         tile_ref[:] = jnp.zeros((TILE_WORDS, L), _I32)
 
-        nchunks_v = nc_ref[0, :]
 
         # All tables are stored TRANSPOSED — [W, L] with lanes on the
         # minor axis — because Mosaic cannot relayout a loop-carried
@@ -258,7 +257,7 @@ def decode_segments_vmem(
             # top level lowers fine)
             (node0, err, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
-             mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
+             mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb, pending,
              tile_base, it) = carry
 
             hot = hot_ref[:]
@@ -395,16 +394,20 @@ def decode_segments_vmem(
             # swap the working literal row: merge the old context's row
             # back and load the new one (one pass over the lit table).
             new_ctx = jnp.where(start_lit, lit_state, lit_ctx)
-            swap = start_lit & True
+            swap = start_lit
             row_v = row_ref[:]
             new_row = row_v
             for c in range(cfg.NLIT):
                 seg = lit_ref[c * LIT_ROW:(c + 1) * LIT_ROW, :]
-                m_out = (swap & (lit_ctx == c))[None, :]
-                seg2 = jnp.where(m_out, row_v, seg)
+                # i32 arithmetic blends, NOT jnp.where: a select whose
+                # (1, L) i1 mask broadcasts against sliced operands hits
+                # Mosaic's unimplemented "Sublane broadcast"; the same
+                # broadcast through arith ops in i32 lowers fine.
+                m_out = (swap & (lit_ctx == c)).astype(_I32)[None, :]
+                seg2 = seg + (row_v - seg) * m_out
                 lit_ref[c * LIT_ROW:(c + 1) * LIT_ROW, :] = seg2
-                m_in = (swap & (new_ctx == c))[None, :]
-                new_row = jnp.where(m_in, seg2, new_row)
+                m_in = (swap & (new_ctx == c)).astype(_I32)[None, :]
+                new_row = new_row + (seg2 - new_row) * m_in
             row_ref[:] = new_row
             lit_ctx = new_ctx
 
@@ -641,11 +644,19 @@ def decode_segments_vmem(
             # -------- Stage E: chunk setup ----------------------------------
             m = node0 == N_CHUNK
             ci = jnp.clip(chunk_i, 0, K - 1)
-            have = m & (chunk_i < nchunks_v)
-            node = jnp.where(m & ~have, N_DONE, node)
 
             def sched(ref):
                 return onehot_read_v(ref[:], ci, K)
+
+            # Slot validity comes from a [K, L] table read like every
+            # other per-chunk field. A direct row load (``ref[0, :]``) of
+            # a lane count does NOT lower here: carried 1-D vectors live
+            # sublane-REPLICATED, a row load is sublane-concrete, and
+            # mixing the two needs Mosaic's unimplemented "Sublane
+            # broadcast" relayout. Sublane reductions (the one-hot reads)
+            # produce replicated values, so sched() is safe.
+            have = m & (chunk_i < K) & (sched(va_ref) == 1)
+            node = jnp.where(m & ~have, N_DONE, node)
 
             cin = sched(is_ref)
             cend = sched(ie_ref)
@@ -668,24 +679,26 @@ def decode_segments_vmem(
                 (cin >= tile_base)
                 & (cin + 5 + cfg.MAINT + 8 <= tile_base + TILE)
             )
-            go = ready & covered
-            wait = ready & ~covered
-            inp = jnp.where(wait, cin, inp)
+            # Probability-table resets cannot happen here: a masked table
+            # write under pl.when hits Mosaic's unimplemented relayout
+            # ("Sublane broadcast") of captured carried vectors, and an
+            # unconditional blend would triple the per-step cost. Instead
+            # a reset chunk PARKS the lane (pending=1); the blend runs at
+            # the next maintenance boundary (outer_body top level, where
+            # the same broadcast lowers fine), which flips pending to 2.
+            want_tbl = ready & (creset == 1) & (pending == 0)
+            pending = jnp.where(want_tbl, 1, pending)
+            go = ready & covered & ((creset == 0) | (pending == 2))
+            wait = ready & ~go
+            inp = jnp.where(wait & ~covered, cin, inp)
 
-            do_reset = go & (creset == 1)
-
-            @pl.when(jnp.max(do_reset.astype(_I32)) == 1)
-            def _():
-                rmask = do_reset[None, :]
-                hot_ref[:] = jnp.where(rmask, PROB_INIT, hot_ref[:])
-                lit_ref[:] = jnp.where(rmask, PROB_INIT, lit_ref[:])
-                row_ref[:] = jnp.where(rmask, PROB_INIT, row_ref[:])
-
-            state = jnp.where(do_reset, 0, state)
-            rep0 = jnp.where(do_reset, 0, rep0)
-            rep1 = jnp.where(do_reset, 0, rep1)
-            rep2 = jnp.where(do_reset, 0, rep2)
-            rep3 = jnp.where(do_reset, 0, rep3)
+            reg_reset = go & (creset == 1)
+            state = jnp.where(reg_reset, 0, state)
+            rep0 = jnp.where(reg_reset, 0, rep0)
+            rep1 = jnp.where(reg_reset, 0, rep1)
+            rep2 = jnp.where(reg_reset, 0, rep2)
+            rep3 = jnp.where(reg_reset, 0, rep3)
+            pending = jnp.where(go, 0, pending)
             lc = jnp.where(go, clc, lc)
             lp = jnp.where(go, clp, lp)
             pb = jnp.where(go, cpb, pb)
@@ -709,7 +722,7 @@ def decode_segments_vmem(
             return (node, err, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
                     dist, mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
-                    tile_base, it + 1)
+                    pending, tile_base, it + 1)
 
         def outer_body(carry):
             # maintenance at while-body top level (NOT under pl.when —
@@ -721,7 +734,14 @@ def decode_segments_vmem(
             inp = carry[4]
             refill(inp)
             tile_base = (inp // 128) * 128
-            carry = carry[:26] + (tile_base,) + carry[27:]
+            # apply parked probability-table resets (pending 1 -> 2)
+            pending = carry[26]
+            p32 = (pending == 1).astype(_I32)[None, :]
+            hot_ref[:] = hot_ref[:] + (PROB_INIT - hot_ref[:]) * p32
+            lit_ref[:] = lit_ref[:] + (PROB_INIT - lit_ref[:]) * p32
+            row_ref[:] = row_ref[:] + (PROB_INIT - row_ref[:]) * p32
+            pending = jnp.where(pending == 1, 2, pending)
+            carry = carry[:26] + (pending, tile_base) + carry[28:]
             j0 = jnp.int32(0)
 
             def inner_cond(jc):
@@ -764,6 +784,7 @@ def decode_segments_vmem(
             z,                                  # lit_ctx
             z,                                  # chunk_i
             z, z, z,                            # lc, lp, pb
+            z,                                  # pending (table reset)
             z,                                  # tile_base
             jnp.zeros((), _I32),                # it (scalar step counter)
         )
@@ -794,5 +815,5 @@ def decode_segments_vmem(
         interpret=interpret,
     )(
         inbuf, win_init, in_start, in_end, out_start, out_end,
-        reset_state, lcs, lps, pbs, nchunks,
+        reset_state, lcs, lps, pbs, valid,
     )

@@ -489,8 +489,9 @@ def execute_plan_vmem(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # Iteration cap: <= 8 bits per staged input byte, one step per output
-    # byte (copies), chunk setups, and refill waits.
-    max_iters = 8 * cfg.W_IN + 2 * cfg.W + cfg.MAINT * (cfg.K + 2) + 1024
+    # byte (copies), chunk setups, refill waits, and up to ~2 maintenance
+    # periods of reset-parking per chunk (vmem_decoder Stage E).
+    max_iters = 8 * cfg.W_IN + 2 * cfg.W + cfg.MAINT * (3 * cfg.K + 4) + 1024
     fn = _jitted_vmem_decoder()
 
     L, K = cfg.L, cfg.K
@@ -508,7 +509,7 @@ def execute_plan_vmem(
             lcs = np.zeros((L, K), dtype=np.int32)
             lps = np.zeros((L, K), dtype=np.int32)
             pbs = np.zeros((L, K), dtype=np.int32)
-            nchunks = np.zeros((1, L), dtype=np.int32)
+            valid = np.zeros((L, K), dtype=np.int32)
             seg_lens = []
             for i, lane in enumerate(batch):
                 seg_len = lane.out_end[-1] - lane.seg_base
@@ -529,7 +530,7 @@ def execute_plan_vmem(
                     lcs[i, j] = lane.lc[j]
                     lps[i, j] = lane.lp[j]
                     pbs[i, j] = lane.pb[j]
-                nchunks[0, i] = len(lane.in_start)
+                valid[i, : len(lane.in_start)] = 1
 
             # pack bytes as little-endian i32 words and transpose to the
             # kernel's [W, L] layout (lanes on the minor axis: 4x fewer
@@ -542,7 +543,7 @@ def execute_plan_vmem(
                 jnp.asarray(out_start.T), jnp.asarray(out_end.T),
                 jnp.asarray(reset_state.T), jnp.asarray(lcs.T),
                 jnp.asarray(lps.T), jnp.asarray(pbs.T),
-                jnp.asarray(nchunks),
+                jnp.asarray(valid.T),
                 config=cfg, max_iters=max_iters, interpret=interpret,
             )
             err_np = np.asarray(err)[0]
