@@ -224,10 +224,6 @@ def decode_segments_vmem(
                 ),
             )
 
-        def win_byte(idx):
-            word = onehot_read_word(win_ref[:], idx >> 2, WIN_WORDS)
-            return _extract_byte(word, idx & 3)
-
         def in_byte(inp, tile_base):
             off = inp - tile_base
             word = onehot_read_word(tile_ref[:], off >> 2, TILE_WORDS)
@@ -258,7 +254,7 @@ def decode_segments_vmem(
             (node0, err, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
              mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb, pending,
-             tile_base, it) = carry
+             prevb, tile_base, it) = carry
 
             hot = hot_ref[:]
 
@@ -370,20 +366,17 @@ def decode_segments_vmem(
             # --- N_ISMATCH -------------------------------------------------
             m = ok & (node0 == N_ISMATCH)
             m0 = m & (bit == 0)
-            prev_byte = jnp.where(
-                outp > 0, win_byte(jnp.maximum(outp - 1, 0)), 0
-            )
+            # prev byte comes from the carried register (kept current by
+            # the write section below), NOT a window pass
             lit_state = ((outp & ((1 << lp) - 1)) << lc) + (
-                prev_byte >> (8 - lc)
+                prevb >> (8 - lc)
             )
             matched = m0 & (state >= 7)
             bad_md = matched & (rep0 + 1 > outp)
             err = jnp.where(bad_md & (err == ERR_NONE), ERR_MATCHDIST, err)
             node = jnp.where(bad_md, N_ERROR, node)
             matched = matched & ~bad_md
-            msrc = jnp.clip(outp - 1 - rep0, 0, W - 1)
-            mb = win_byte(msrc)
-            mbyte = jnp.where(matched, mb, mbyte)
+            # matched byte is read by the shared window port below
             start_lit = m0 & ~bad_md
             acc = jnp.where(start_lit, 1, acc)
             node = jnp.where(
@@ -606,40 +599,16 @@ def decode_segments_vmem(
             )
 
             # -------- Stage D: copy lanes move one byte --------------------
+            # (the source byte is read by the shared window port below)
             m = node0 == N_COPY
             over = m & (outp >= outend) & (length > 0)
             err = jnp.where(over & (err == ERR_NONE), ERR_SIZE, err)
             node = jnp.where(over, N_ERROR, node)
             m_w = m & ~over
-            src = jnp.clip(outp - dist, 0, W - 1)
-            copy_val = win_byte(src)
             length = jnp.where(m_w, length - 1, length)
             copy_done = m_w & (length == 0)
             node, err = end_symbol(copy_done, node, err, outp + 1)
-
-            # -------- combined window write (literal emit OR copy byte) ----
-            # packed read-modify-write of the target word
-            wmask = done_lit | m_w
-            wval = jnp.where(done_lit, lit_emit, copy_val)
-            widx = outp >> 2
-            k = outp & 3
-            old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
-            new_w = jnp.where(
-                k == 0, (old_w & ~0xFF) | wval,
-                jnp.where(
-                    k == 1,
-                    (old_w & ~(0xFF << 8)) | (wval << 8),
-                    jnp.where(
-                        k == 2,
-                        (old_w & ~(0xFF << 16)) | (wval << 16),
-                        (old_w & jnp.int32(0x00FFFFFF)) | (wval << 24),
-                    ),
-                ),
-            )
-            wr = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, L), 0)
-            sel = (wr == widx[None, :]) & wmask[None, :]
-            win_ref[:] = jnp.where(sel, new_w[None, :], win_ref[:])
-            outp = jnp.where(wmask, outp + 1, outp)
+            outp_w = outp  # emit position, before Stage E retargets outp
 
             # -------- Stage E: chunk setup ----------------------------------
             m = node0 == N_CHUNK
@@ -719,10 +688,64 @@ def decode_segments_vmem(
             insta_done = go & (cout_start == cout_end)
             node = jnp.where(insta_done, N_CHUNK, node)
 
+            # -------- shared window READ port (one pass per step) ----------
+            # Row selected by node0 — the three users are mutually
+            # exclusive per lane:
+            #   N_COPY    -> match source byte           (outp - dist)
+            #   N_ISMATCH -> matched-literal byte        (outp - 1 - rep0)
+            #   N_CHUNK   -> prev byte for a chunk that resumes after a
+            #                prefilled gap               (cout_start - 1)
+            is_copy = node0 == N_COPY
+            is_chunkn = node0 == N_CHUNK
+            port_pos = jnp.where(
+                is_copy, outp_w - dist,
+                jnp.where(is_chunkn, cout_start - 1, outp_w - 1 - rep0),
+            )
+            port_pos = jnp.clip(port_pos, 0, W - 1)
+            port_word = onehot_read_word(
+                win_ref[:], port_pos >> 2, WIN_WORDS
+            )
+            port_byte = _extract_byte(port_word, port_pos & 3)
+            mbyte = jnp.where(matched, port_byte, mbyte)
+            copy_val = port_byte
+
+            # -------- combined window write (literal emit OR copy byte) ----
+            # packed read-modify-write of the target word
+            wmask = done_lit | m_w
+            wval = jnp.where(done_lit, lit_emit, copy_val)
+            widx = outp_w >> 2
+            k = outp_w & 3
+            old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
+            new_w = jnp.where(
+                k == 0, (old_w & ~0xFF) | wval,
+                jnp.where(
+                    k == 1,
+                    (old_w & ~(0xFF << 8)) | (wval << 8),
+                    jnp.where(
+                        k == 2,
+                        (old_w & ~(0xFF << 16)) | (wval << 16),
+                        (old_w & jnp.int32(0x00FFFFFF)) | (wval << 24),
+                    ),
+                ),
+            )
+            wr = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, L), 0)
+            sel = (wr == widx[None, :]) & wmask[None, :]
+            win_ref[:] = jnp.where(sel, new_w[None, :], win_ref[:])
+            outp = jnp.where(wmask, outp + 1, outp)
+
+            # prev-byte register: last emitted byte; reloaded from the
+            # window when a chunk resumes after a prefilled gap; 0 at the
+            # start of a fresh segment.
+            first = go & (cout_start == 0)
+            gap_go = go & (cout_start != outp_w) & (cout_start > 0)
+            prevb = jnp.where(wmask, wval, prevb)
+            prevb = jnp.where(gap_go, port_byte, prevb)
+            prevb = jnp.where(first, 0, prevb)
+
             return (node, err, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
                     dist, mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
-                    pending, tile_base, it + 1)
+                    pending, prevb, tile_base, it + 1)
 
         def outer_body(carry):
             # maintenance at while-body top level (NOT under pl.when —
@@ -741,7 +764,9 @@ def decode_segments_vmem(
             lit_ref[:] = lit_ref[:] + (PROB_INIT - lit_ref[:]) * p32
             row_ref[:] = row_ref[:] + (PROB_INIT - row_ref[:]) * p32
             pending = jnp.where(pending == 1, 2, pending)
-            carry = carry[:26] + (pending, tile_base) + carry[28:]
+            # carry layout: ..., pending(26), prevb(27), tile_base(28), it
+            carry = carry[:26] + (pending,) + carry[27:28] + (tile_base,) \
+                + carry[29:]
             j0 = jnp.int32(0)
 
             def inner_cond(jc):
@@ -785,6 +810,7 @@ def decode_segments_vmem(
             z,                                  # chunk_i
             z, z, z,                            # lc, lp, pb
             z,                                  # pending (table reset)
+            z,                                  # prevb (last output byte)
             z,                                  # tile_base
             jnp.zeros((), _I32),                # it (scalar step counter)
         )
