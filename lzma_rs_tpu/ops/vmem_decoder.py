@@ -184,12 +184,11 @@ def decode_segments_vmem(
         in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, rs_ref,
         lc_ref, lp_ref, pb_ref, va_ref,
         win_ref, err_ref, outp_ref, iters_ref,
-        hot_ref, lit_ref, row_ref, tile_ref,
+        hot_ref, lit_ref, tile_ref,
     ):
         win_ref[:] = win_in_ref[:]
         hot_ref[:] = jnp.full((HOT_W, L), PROB_INIT, _I32)
         lit_ref[:] = jnp.full((LIT_W, L), PROB_INIT, _I32)
-        row_ref[:] = jnp.full((LIT_ROW, L), PROB_INIT, _I32)
         tile_ref[:] = jnp.zeros((TILE_WORDS, L), _I32)
 
 
@@ -286,13 +285,20 @@ def decode_segments_vmem(
             ):
                 hot_idx = jnp.where(cond, val, hot_idx)
             hot_idx = jnp.clip(hot_idx, 0, HOT_TOTAL - 1)
+            # literal probs are addressed directly in the big table with
+            # a fused context*row index — a per-symbol working-row swap
+            # costs ~5 full row passes per step (measured 2x the whole
+            # rest of the kernel), direct access costs one lit-table
+            # read + one blended write.
             lit_idx = jnp.where(
                 node0 == N_LITM, ((1 + match_bit0) << 8) + acc, acc
             )
-            lit_idx = jnp.clip(lit_idx, 0, LIT_ROW - 1)
+            lit_idx = jnp.clip(
+                lit_ctx * LIT_ROW + lit_idx, 0, LIT_W - 1
+            )
 
             p_hot = onehot_read_v(hot, hot_idx, HOT_W)
-            p_lit = onehot_read_v(row_ref[:], lit_idx, LIT_ROW)
+            p_lit = onehot_read_v(lit_ref[:], lit_idx, LIT_W)
             p = jnp.where(is_lit_node, p_lit, p_hot).astype(_U32)
 
             rng_u = rng.astype(_U32)
@@ -306,9 +312,9 @@ def decode_segments_vmem(
             hot_rows = jax.lax.broadcasted_iota(_I32, (HOT_W, L), 0)
             hm = (hot_rows == hot_idx[None, :]) & is_hot[None, :]
             hot_ref[:] = jnp.where(hm, new_p[None, :], hot)
-            row_rows = jax.lax.broadcasted_iota(_I32, (LIT_ROW, L), 0)
-            rm = (row_rows == lit_idx[None, :]) & is_lit_node[None, :]
-            row_ref[:] = jnp.where(rm, new_p[None, :], row_ref[:])
+            lit_rows = jax.lax.broadcasted_iota(_I32, (LIT_W, L), 0)
+            lm = (lit_rows == lit_idx[None, :]) & is_lit_node[None, :]
+            lit_ref[:] = jnp.where(lm, new_p[None, :], lit_ref[:])
 
             rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
             cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
@@ -384,25 +390,7 @@ def decode_segments_vmem(
             )
             node = jnp.where(m & (bit == 1), N_ISREP, node)
 
-            # swap the working literal row: merge the old context's row
-            # back and load the new one (one pass over the lit table).
-            new_ctx = jnp.where(start_lit, lit_state, lit_ctx)
-            swap = start_lit
-            row_v = row_ref[:]
-            new_row = row_v
-            for c in range(cfg.NLIT):
-                seg = lit_ref[c * LIT_ROW:(c + 1) * LIT_ROW, :]
-                # i32 arithmetic blends, NOT jnp.where: a select whose
-                # (1, L) i1 mask broadcasts against sliced operands hits
-                # Mosaic's unimplemented "Sublane broadcast"; the same
-                # broadcast through arith ops in i32 lowers fine.
-                m_out = (swap & (lit_ctx == c)).astype(_I32)[None, :]
-                seg2 = seg + (row_v - seg) * m_out
-                lit_ref[c * LIT_ROW:(c + 1) * LIT_ROW, :] = seg2
-                m_in = (swap & (new_ctx == c)).astype(_I32)[None, :]
-                new_row = new_row + (seg2 - new_row) * m_in
-            row_ref[:] = new_row
-            lit_ctx = new_ctx
+            lit_ctx = jnp.where(start_lit, lit_state, lit_ctx)
 
             # --- N_LITM ----------------------------------------------------
             m = ok & (node0 == N_LITM)
@@ -762,7 +750,6 @@ def decode_segments_vmem(
             p32 = (pending == 1).astype(_I32)[None, :]
             hot_ref[:] = hot_ref[:] + (PROB_INIT - hot_ref[:]) * p32
             lit_ref[:] = lit_ref[:] + (PROB_INIT - lit_ref[:]) * p32
-            row_ref[:] = row_ref[:] + (PROB_INIT - row_ref[:]) * p32
             pending = jnp.where(pending == 1, 2, pending)
             # carry layout: ..., pending(26), prevb(27), tile_base(28), it
             carry = carry[:26] + (pending,) + carry[27:28] + (tile_base,) \
@@ -835,7 +822,6 @@ def decode_segments_vmem(
         scratch_shapes=[
             pltpu.VMEM((HOT_W, L), jnp.int32),      # hot probs
             pltpu.VMEM((LIT_W, L), jnp.int32),       # literal probs
-            pltpu.VMEM((LIT_ROW, L), jnp.int32),     # working literal row
             pltpu.VMEM((TILE // 4, L), jnp.int32),   # input lookahead
         ],
         interpret=interpret,

@@ -496,9 +496,12 @@ def execute_plan_vmem(
 
     L, K = cfg.L, cfg.K
     with stats_mod.launch_timer(st):
+        # Dispatch every batch before touching any result: jax dispatch
+        # is async, so batch N+1's host-side packing overlaps batch N's
+        # device time.
+        pending_batches = []
         for base in range(0, len(lanes), L):
             batch = lanes[base : base + L]
-            n = len(batch)
             inbuf = np.zeros((L, cfg.W_IN), dtype=np.uint8)
             win_init = np.zeros((L, cfg.W), dtype=np.uint8)
             in_start = np.zeros((L, K), dtype=np.int32)
@@ -546,6 +549,11 @@ def execute_plan_vmem(
                 jnp.asarray(valid.T),
                 config=cfg, max_iters=max_iters, interpret=interpret,
             )
+            pending_batches.append(
+                (base, batch, seg_lens, win, err, outp, iters)
+            )
+
+        for base, batch, seg_lens, win, err, outp, iters in pending_batches:
             err_np = np.asarray(err)[0]
             outp_np = np.asarray(outp)[0]
             if st is not None:
