@@ -54,10 +54,6 @@ from lzma_rs_tpu.models.state import (
     LEN_LOW,
     LEN_MID,
     PROB_INIT,
-    STATE_AFTER_LIT,
-    STATE_AFTER_MATCH,
-    STATE_AFTER_REP,
-    STATE_AFTER_SHORTREP,
 )
 
 # Node ids (same DFA as ops/lane_decoder.py).
@@ -113,28 +109,29 @@ LIT_ROW = 0x300           # 768 entries per literal context
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
-_LIT_NEXT = tuple(int(x) for x in STATE_AFTER_LIT)
-_MATCH_NEXT = tuple(int(x) for x in STATE_AFTER_MATCH)
-_REP_NEXT = tuple(int(x) for x in STATE_AFTER_REP)
-_SHORTREP_NEXT = tuple(int(x) for x in STATE_AFTER_SHORTREP)
+# State transitions in closed arithmetic form (2-4 vector ops instead of
+# an 11-deep select chain each; validated against models/state.py tables
+# by tests/test_vmem_kernel.py bit-exactness):
+#   after_lit:      0..3 -> 0, 4..9 -> s-3, 10..11 -> s-6
+#   after_match:    <7 -> 7,  else 10
+#   after_rep:      <7 -> 8,  else 11
+#   after_shortrep: <7 -> 9,  else 11
 
 
-def _state_table(tbl):
-    """12-entry state-transition lookup as a select chain."""
-
-    def apply(state):
-        out = jnp.full_like(state, tbl[0])
-        for s in range(1, 12):
-            out = jnp.where(state == s, tbl[s], out)
-        return out
-
-    return apply
+def _after_lit(state):
+    return jnp.maximum(0, state - 3 - 3 * (state >= 10).astype(_I32))
 
 
-_after_lit = _state_table(_LIT_NEXT)
-_after_match = _state_table(_MATCH_NEXT)
-_after_rep = _state_table(_REP_NEXT)
-_after_shortrep = _state_table(_SHORTREP_NEXT)
+def _after_match(state):
+    return 7 + 3 * (state >= 7).astype(_I32)
+
+
+def _after_rep(state):
+    return 8 + 3 * (state >= 7).astype(_I32)
+
+
+def _after_shortrep(state):
+    return 9 + 2 * (state >= 7).astype(_I32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +146,7 @@ class KernelConfig:
     K: int = 8          # max chunks per lane
     TILE: int = 256     # input lookahead tile width
     MAINT: int = 64     # lookahead refill period (consumption <= 1 B/step)
+    UNROLL: int = 2     # steps per inner while iteration (divides MAINT)
 
     @property
     def lit_w(self) -> int:
@@ -177,6 +175,8 @@ def decode_segments_vmem(
 
     WIN_WORDS = W // 4
     IN_WORDS = W_IN // 4
+    PROB_WORDS = (HOT_W + LIT_W) // 2  # 2 x 11-bit probs per i32 word
+    PROB_PACKED = PROB_INIT | (PROB_INIT << 16)
     TILE_WORDS = TILE // 4
     ROW_WORDS = 32  # 128 bytes per input row
 
@@ -184,11 +184,10 @@ def decode_segments_vmem(
         in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, rs_ref,
         lc_ref, lp_ref, pb_ref, va_ref,
         win_ref, err_ref, outp_ref, iters_ref,
-        hot_ref, lit_ref, tile_ref,
+        prob_ref, tile_ref,
     ):
         win_ref[:] = win_in_ref[:]
-        hot_ref[:] = jnp.full((HOT_W, L), PROB_INIT, _I32)
-        lit_ref[:] = jnp.full((LIT_W, L), PROB_INIT, _I32)
+        prob_ref[:] = jnp.full((PROB_WORDS, L), PROB_PACKED, _I32)
         tile_ref[:] = jnp.zeros((TILE_WORDS, L), _I32)
 
 
@@ -255,11 +254,8 @@ def decode_segments_vmem(
              mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb, pending,
              prevb, tile_base, it) = carry
 
-            hot = hot_ref[:]
-
             is_prob = (node0 <= N_ALIGN) & (node0 != N_DIRECT)
             is_lit_node = (node0 == N_LIT) | (node0 == N_LITM)
-            is_hot = is_prob & ~is_lit_node
             is_direct = node0 == N_DIRECT
             active_bit = is_prob | is_direct
 
@@ -285,21 +281,25 @@ def decode_segments_vmem(
             ):
                 hot_idx = jnp.where(cond, val, hot_idx)
             hot_idx = jnp.clip(hot_idx, 0, HOT_TOTAL - 1)
-            # literal probs are addressed directly in the big table with
-            # a fused context*row index — a per-symbol working-row swap
-            # costs ~5 full row passes per step (measured 2x the whole
-            # rest of the kernel), direct access costs one lit-table
-            # read + one blended write.
+            # Literal probs live in the same packed table behind the hot
+            # entries, addressed with a fused context*row index — a
+            # per-symbol working-row swap costs ~5 full row passes per
+            # step (measured 2x the whole rest of the kernel); direct
+            # access costs one table read + one blended write. Two
+            # 11-bit probabilities pack per i32 word (halves the pass).
             lit_idx = jnp.where(
                 node0 == N_LITM, ((1 + match_bit0) << 8) + acc, acc
             )
             lit_idx = jnp.clip(
                 lit_ctx * LIT_ROW + lit_idx, 0, LIT_W - 1
             )
-
-            p_hot = onehot_read_v(hot, hot_idx, HOT_W)
-            p_lit = onehot_read_v(lit_ref[:], lit_idx, LIT_W)
-            p = jnp.where(is_lit_node, p_lit, p_hot).astype(_U32)
+            pidx = jnp.where(is_lit_node, HOT_W + lit_idx, hot_idx)
+            pword_idx = pidx >> 1
+            phalf = pidx & 1
+            pword = onehot_read_word(prob_ref[:], pword_idx, PROB_WORDS)
+            p = jnp.where(
+                phalf == 1, (pword >> 16) & 0xFFFF, pword & 0xFFFF
+            ).astype(_U32)
 
             rng_u = rng.astype(_U32)
             cod_u = cod.astype(_U32)
@@ -309,12 +309,14 @@ def decode_segments_vmem(
                 prob_bit == 1, p - (p >> 5), p + ((_U32(0x800) - p) >> 5)
             ).astype(_I32)
 
-            hot_rows = jax.lax.broadcasted_iota(_I32, (HOT_W, L), 0)
-            hm = (hot_rows == hot_idx[None, :]) & is_hot[None, :]
-            hot_ref[:] = jnp.where(hm, new_p[None, :], hot)
-            lit_rows = jax.lax.broadcasted_iota(_I32, (LIT_W, L), 0)
-            lm = (lit_rows == lit_idx[None, :]) & is_lit_node[None, :]
-            lit_ref[:] = jnp.where(lm, new_p[None, :], lit_ref[:])
+            new_pword = jnp.where(
+                phalf == 1,
+                (pword & 0xFFFF) | (new_p << 16),
+                (pword & jnp.int32(-0x10000)) | new_p,
+            )
+            prob_rows = jax.lax.broadcasted_iota(_I32, (PROB_WORDS, L), 0)
+            pm = (prob_rows == pword_idx[None, :]) & is_prob[None, :]
+            prob_ref[:] = jnp.where(pm, new_pword[None, :], prob_ref[:])
 
             rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
             cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
@@ -748,8 +750,7 @@ def decode_segments_vmem(
             # apply parked probability-table resets (pending 1 -> 2)
             pending = carry[26]
             p32 = (pending == 1).astype(_I32)[None, :]
-            hot_ref[:] = hot_ref[:] + (PROB_INIT - hot_ref[:]) * p32
-            lit_ref[:] = lit_ref[:] + (PROB_INIT - lit_ref[:]) * p32
+            prob_ref[:] = prob_ref[:] + (PROB_PACKED - prob_ref[:]) * p32
             pending = jnp.where(pending == 1, 2, pending)
             # carry layout: ..., pending(26), prevb(27), tile_base(28), it
             carry = carry[:26] + (pending,) + carry[27:28] + (tile_base,) \
@@ -761,7 +762,9 @@ def decode_segments_vmem(
 
             def inner_body(jc):
                 j, inner = jc
-                return (j + 1, step(None, inner))
+                for _ in range(cfg.UNROLL):
+                    inner = step(None, inner)
+                return (j + cfg.UNROLL, inner)
 
             _, carry = jax.lax.while_loop(inner_cond, inner_body,
                                           (j0, carry))
@@ -820,8 +823,7 @@ def decode_segments_vmem(
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
         ),
         scratch_shapes=[
-            pltpu.VMEM((HOT_W, L), jnp.int32),      # hot probs
-            pltpu.VMEM((LIT_W, L), jnp.int32),       # literal probs
+            pltpu.VMEM(((HOT_W + cfg.lit_w) // 2, L), jnp.int32),
             pltpu.VMEM((TILE // 4, L), jnp.int32),   # input lookahead
         ],
         interpret=interpret,

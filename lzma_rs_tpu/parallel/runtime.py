@@ -446,7 +446,24 @@ def execute_plan_vmem(
 
     from lzma_rs_tpu.ops import vmem_decoder as vd
 
-    cfg = config or vd.KernelConfig()
+    if config is None:
+        # pick the smallest window bucket that fits every segment —
+        # one-hot window passes are O(W), so a 4 KiB-block archive
+        # decodes ~4x faster in the 4 KiB bucket than in the 16 KiB one
+        need_w = 1
+        need_in = 1
+        for p in plans:
+            for lane in p.lanes:
+                need_w = max(need_w, lane.out_end[-1] - lane.seg_base)
+                need_in = max(
+                    need_in,
+                    sum(e - s for s, e in zip(lane.in_start, lane.in_end)),
+                )
+        bucket = 2048
+        while bucket < max(need_w, need_in) and bucket < 16384:
+            bucket *= 2
+        config = vd.KernelConfig(W=bucket, W_IN=bucket)
+    cfg = config
     max_lclp = int(math.log2(cfg.NLIT))
 
     total_out = sum(p.total_out for p in plans)
