@@ -359,17 +359,6 @@ def decode_segments_vmem(
                 node = jnp.where(cont, N_ISMATCH, node)
                 return node, err
 
-            def start_copy(mask, node, err, new_len, new_dist, length,
-                           dist):
-                # new_dist < 1 catches i32 wraparound of corrupt huge
-                # distances (valid segments keep dist <= W < 2^31)
-                bad = mask & ((new_dist > outp) | (new_dist < 1))
-                err = jnp.where(bad & (err == ERR_NONE), ERR_DIST_OUT, err)
-                node = jnp.where(bad, N_ERROR, node)
-                node = jnp.where(mask & ~bad, N_COPY, node)
-                ln = jnp.where(mask & ~bad, new_len, length)
-                ds = jnp.where(mask & ~bad, new_dist, dist)
-                return node, err, ln, ds
 
             # --- N_ISMATCH -------------------------------------------------
             m = ok & (node0 == N_ISMATCH)
@@ -409,7 +398,7 @@ def decode_segments_vmem(
 
             lit_emit = (acc - 0x100) & 0xFF
             state = jnp.where(done_lit, _after_lit(state), state)
-            node, err = end_symbol(done_lit, node, err, outp + 1)
+            # end_symbol runs merged with copy_done in Stage D;
             # outp advances below, in the combined window write
 
             # --- N_ISREP ---------------------------------------------------
@@ -431,10 +420,7 @@ def decode_segments_vmem(
             m = ok & (node0 == N_ISREP0LONG)
             short = m & (bit == 0)
             state = jnp.where(short, _after_shortrep(state), state)
-            node, err, length, dist = start_copy(
-                short, node, err, jnp.ones_like(length), rep0 + 1,
-                length, dist,
-            )
+            # (copy starts via the merged start_copy below)
             long0 = m & (bit == 1)
             len_rep = jnp.where(long0, 1, len_rep)
             node = jnp.where(long0, N_LEN_CHOICE, node)
@@ -492,9 +478,7 @@ def decode_segments_vmem(
             length = jnp.where(done_len, lval, length)
             repdone = done_len & (len_rep == 1)
             state = jnp.where(repdone, _after_rep(state), state)
-            node, err, length, dist = start_copy(
-                repdone, node, err, length + 2, rep0 + 1, length, dist
-            )
+            # (copy starts via the merged start_copy below)
             matchdone = done_len & (len_rep == 0)
             state = jnp.where(matchdone, _after_match(state), state)
             len_state = jnp.minimum(length, 3)
@@ -503,28 +487,6 @@ def decode_segments_vmem(
             acc = jnp.where(matchdone, 1, acc)
             node = jnp.where(matchdone, N_POSSLOT, node)
 
-            def finish_distance(mask, node, err, dist_field, length, dist,
-                                rep0_v):
-                marker = mask & (dist_field == -1)  # 0xFFFFFFFF as i32
-                fin_ok = marker & (cod == 0) & (inp >= inend)
-                size_mm = fin_ok & (outp != outend)
-                err = jnp.where(size_mm & (err == ERR_NONE), ERR_SIZE, err)
-                node = jnp.where(size_mm, N_ERROR, node)
-                clean = fin_ok & ~size_mm
-                node = jnp.where(clean, N_CHUNK, node)
-                bad_eos = marker & ~fin_ok
-                err = jnp.where(
-                    bad_eos & (err == ERR_NONE), ERR_EOS_EXTRA, err
-                )
-                node = jnp.where(bad_eos, N_ERROR, node)
-                normal = mask & ~marker
-                rep0_v = jnp.where(normal, dist_field, rep0_v)
-                node, err, ln, ds = start_copy(
-                    normal, node, err, length + 2, dist_field + 1,
-                    length, dist,
-                )
-                return node, err, ln, ds, rep0_v
-
             # --- N_POSSLOT -------------------------------------------------
             m = ok & (node0 == N_POSSLOT)
             acc = jnp.where(m, (acc << 1) | bit, acc)
@@ -532,9 +494,6 @@ def decode_segments_vmem(
             done_ps = m & (cnt == 0)
             pos_slot = acc - 64
             small = done_ps & (pos_slot < 4)
-            node, err, length, dist, rep0 = finish_distance(
-                small, node, err, pos_slot, length, dist, rep0
-            )
             big = done_ps & (pos_slot >= 4)
             ndirect = (pos_slot >> 1) - 1
             base_dist = (2 | (pos_slot & 1)) << jnp.clip(ndirect, 0, 30)
@@ -560,9 +519,6 @@ def decode_segments_vmem(
             mbyte = jnp.where(m, mbyte << 1, mbyte)
             cnt = jnp.where(m, cnt - 1, cnt)
             done_sp = m & (cnt == 0)
-            node, err, length, dist, rep0 = finish_distance(
-                done_sp, node, err, dist + rev, length, dist, rep0
-            )
 
             # --- N_DIRECT --------------------------------------------------
             m = ok & (node0 == N_DIRECT)
@@ -584,9 +540,38 @@ def decode_segments_vmem(
             mbyte = jnp.where(m, mbyte << 1, mbyte)
             cnt = jnp.where(m, cnt - 1, cnt)
             done_al = m & (cnt == 0)
-            node, err, length, dist, rep0 = finish_distance(
-                done_al, node, err, dist + rev, length, dist, rep0
-            )
+
+            # -------- merged distance finish + copy start -------------------
+            # One instantiation serves POSSLOT(small)/SPECPOS/ALIGN
+            # finishes and the short-rep / rep-len copy starts — the
+            # masks are disjoint by node, and a single pass saves ~60
+            # vector-op issues per step.
+            fin = small | done_sp | done_al
+            dfield = jnp.where(small, pos_slot, dist + rev)
+            marker = fin & (dfield == -1)  # 0xFFFFFFFF as i32
+            fin_ok = marker & (cod == 0) & (inp >= inend)
+            size_mm = fin_ok & (outp != outend)
+            err = jnp.where(size_mm & (err == ERR_NONE), ERR_SIZE, err)
+            node = jnp.where(size_mm, N_ERROR, node)
+            node = jnp.where(fin_ok & ~size_mm, N_CHUNK, node)
+            bad_eos = marker & ~fin_ok
+            err = jnp.where(bad_eos & (err == ERR_NONE), ERR_EOS_EXTRA, err)
+            node = jnp.where(bad_eos, N_ERROR, node)
+            normal = fin & ~marker
+            rep0 = jnp.where(normal, dfield, rep0)
+
+            sc = short | repdone | normal
+            sc_len = jnp.where(short, 1, length + 2)
+            sc_dist = rep0 + 1  # == dfield + 1 for `normal` (just set)
+            # sc_dist < 1 catches i32 wraparound of corrupt huge
+            # distances (valid segments keep dist <= W < 2^31)
+            bad = sc & ((sc_dist > outp) | (sc_dist < 1))
+            err = jnp.where(bad & (err == ERR_NONE), ERR_DIST_OUT, err)
+            node = jnp.where(bad, N_ERROR, node)
+            good = sc & ~bad
+            node = jnp.where(good, N_COPY, node)
+            length = jnp.where(good, sc_len, length)
+            dist = jnp.where(good, sc_dist, dist)
 
             # -------- Stage D: copy lanes move one byte --------------------
             # (the source byte is read by the shared window port below)
@@ -597,7 +582,7 @@ def decode_segments_vmem(
             m_w = m & ~over
             length = jnp.where(m_w, length - 1, length)
             copy_done = m_w & (length == 0)
-            node, err = end_symbol(copy_done, node, err, outp + 1)
+            node, err = end_symbol(done_lit | copy_done, node, err, outp + 1)
             outp_w = outp  # emit position, before Stage E retargets outp
 
             # -------- Stage E: chunk setup ----------------------------------

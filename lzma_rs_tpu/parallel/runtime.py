@@ -462,7 +462,15 @@ def execute_plan_vmem(
         bucket = 2048
         while bucket < max(need_w, need_in) and bucket < 16384:
             bucket *= 2
-        config = vd.KernelConfig(W=bucket, W_IN=bucket)
+        # deeper unroll amortizes while-loop overhead and more lanes
+        # amortize per-step op-issue overhead; both bounded by the 16 MB
+        # scoped-VMEM stack (temporaries scale with UNROLL and L)
+        if bucket <= 8192:
+            config = vd.KernelConfig(
+                L=256, W=bucket, W_IN=bucket, UNROLL=2
+            )
+        else:
+            config = vd.KernelConfig(W=bucket, W_IN=bucket, UNROLL=2)
     cfg = config
     max_lclp = int(math.log2(cfg.NLIT))
 
