@@ -37,10 +37,14 @@ def lzma2_compress(
     data: bytes,
     level: Optional[int] = DEFAULT_LEVEL,
     chunk_size: int = CHUNK,
+    props: int = -1,
 ) -> bytes:
     """``chunk_size`` sets unpacked bytes per LZMA2 chunk (256..65536).
     Smaller chunks cost a little ratio but bound the per-chunk work unit
-    (the VMEM TPU kernel wants segments <= its window)."""
+    (the VMEM TPU kernel wants segments <= its window). ``props`` is a raw
+    LZMA props byte (lc + 9*(lp + 5*pb)) or -1 for the default lc=3 lp=0
+    pb=2; small lc+lp shrinks the literal-probability table the TPU kernel
+    must keep in VMEM (see ops/vmem_decoder.py)."""
     data = bytes(data)
     if level:
         try:
@@ -50,5 +54,7 @@ def lzma2_compress(
         except Exception:
             lib = None
         if lib is not None:
-            return lib.lzma2_compress(data, int(level), int(chunk_size))
+            return lib.lzma2_compress(
+                data, int(level), int(chunk_size), int(props)
+            )
     return _store(data)

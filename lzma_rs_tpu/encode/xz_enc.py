@@ -25,10 +25,12 @@ def xz_compress(
     block_size: int | None = None,
     check_method: int = xz_fmt.CHECK_NONE,
     level: int | None = 6,
+    props: int = -1,
 ) -> bytes:
     """``level`` 1-9 = real compression (native greedy encoder, dictionary
     per block so blocks stay independently decodable); 0/None = stored
-    chunks (reference-parity writer, maximally parallel)."""
+    chunks (reference-parity writer, maximally parallel). ``props`` is a
+    raw LZMA props byte or -1 for lc=3 lp=0 pb=2 (see lzma2_enc)."""
     block_size = block_size or DEFAULT_BLOCK_SIZE
     flags = xz_fmt.StreamFlags(check_method=check_method)
     writer = ByteWriter()
@@ -36,7 +38,7 @@ def xz_compress(
 
     records = []
     if len(data) == 0:
-        payload = lzma2_compress(b"", level)
+        payload = lzma2_compress(b"", level, props=props)
         records.append(
             xz_fmt.write_block(writer, payload, b"", check_method=check_method)
         )
@@ -55,10 +57,13 @@ def xz_compress(
                 max_workers=min(8, os.cpu_count() or 1)
             ) as pool:
                 payloads = list(
-                    pool.map(lambda b: lzma2_compress(b, level), blocks)
+                    pool.map(
+                        lambda b: lzma2_compress(b, level, props=props),
+                        blocks,
+                    )
                 )
         else:
-            payloads = [lzma2_compress(blocks[0], level)]
+            payloads = [lzma2_compress(blocks[0], level, props=props)]
         for raw, payload in zip(blocks, payloads):
             records.append(
                 xz_fmt.write_block(writer, payload, raw, check_method=check_method)

@@ -80,6 +80,7 @@ class NativeLib:
             ctypes.c_size_t,
             ctypes.c_int,
             ctypes.c_size_t,  # chunk size (unpacked bytes per chunk)
+            ctypes.c_int,  # props byte, or -1 for lc=3 lp=0 pb=2
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t),
         ]
@@ -179,12 +180,13 @@ class NativeLib:
         return out
 
     def lzma2_compress(
-        self, data: bytes, level: int, chunk_size: int = 65536
+        self, data: bytes, level: int, chunk_size: int = 65536,
+        props: int = -1,
     ) -> bytes:
         buf = ctypes.c_void_p()
         n = ctypes.c_size_t()
         self._lib.lrt_lzma2_compress(
-            data, len(data), level, chunk_size,
+            data, len(data), level, chunk_size, props,
             ctypes.byref(buf), ctypes.byref(n),
         )
         return self._take(buf, n)
@@ -273,6 +275,7 @@ def _pgo_train(so_path: str) -> None:
     lib.lrt_lzma2_compress.restype = ctypes.c_int
     lib.lrt_lzma2_compress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
     ]
     lib.lrt_lzma2_decode.restype = ctypes.c_int
@@ -296,8 +299,8 @@ def _pgo_train(so_path: str) -> None:
 
     buf = ctypes.c_void_p()
     n = ctypes.c_size_t()
-    lib.lrt_lzma2_compress(train, len(train), 6, 65536, ctypes.byref(buf),
-                           ctypes.byref(n))
+    lib.lrt_lzma2_compress(train, len(train), 6, 65536, -1,
+                           ctypes.byref(buf), ctypes.byref(n))
     comp = ctypes.string_at(buf.value, n.value)
     lib.lrt_free(buf)
     err = ctypes.create_string_buffer(512)

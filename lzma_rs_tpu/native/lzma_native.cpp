@@ -881,20 +881,28 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
 // Output is a complete LZMA2 chunk stream (0x00-terminated).
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 bool price_mode, std::string& out);
+                                 bool price_mode, int props,
+                                 std::string& out);
 
 int lrt_lzma2_compress(const char* data, size_t n, int level,
-                       size_t chunk_size, void** out_buf, size_t* out_len) {
+                       size_t chunk_size, int props, void** out_buf,
+                       size_t* out_len) {
   int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 128;
   // levels >= 4 pay for bit-price candidate selection (better ratio)
   bool price_mode = level >= 4;
   if (chunk_size < 256) chunk_size = 256;
   if (chunk_size > 65536) chunk_size = 65536;
+  // props byte (lzma_header.py / lzma.rs:43-94): default lc=3 lp=0 pb=2.
+  // lc+lp <= 4 keeps liblzma-compatible streams.
+  if (props < 0 || props >= 225 ||
+      props % 9 + (props / 9) % 5 > 4)
+    props = 3 + 9 * (0 + 5 * 2);
   std::string out;
   out.reserve(n / 3 + 64);
   if (n > 0)
     lzma2_compress_block(reinterpret_cast<const uint8_t*>(data), n, depth,
-                         /*first_block=*/1, chunk_size, price_mode, out);
+                         /*first_block=*/1, chunk_size, price_mode, props,
+                         out);
   out.push_back('\0');
   *out_buf = dup_out(out);
   *out_len = out.size();
@@ -1476,10 +1484,12 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
 // chunk resets state (reset_mode 1) as the spec requires.
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 bool price_mode, std::string& out) {
+                                 bool price_mode, int props,
+                                 std::string& out) {
   const size_t kChunk = chunk_size;
   MatchFinder mf(data, n, depth);
-  LzmaEncoder enc(3, 0, 2);
+  int lc = props % 9, lp = (props / 9) % 5, pb = props / 45;
+  LzmaEncoder enc(lc, lp, pb);
   size_t pos = 0;
   // 3 = dict+state+props (stream start), 2 = state+props reset, 1 = state
   // reset (props already in effect), 0 = pure continuation.
@@ -1512,7 +1522,7 @@ static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
       out.push_back(char((psz >> 8) & 0xFF));
       out.push_back(char(psz & 0xFF));
       if (reset_mode >= 2) {
-        out.push_back(char(3 + 9 * (0 + 5 * 2)));  // props lc=3 lp=0 pb=2
+        out.push_back(char(props));
         props_sent = true;
       }
       out += payload;

@@ -452,6 +452,7 @@ def execute_plan_vmem(
         # decodes ~4x faster in the 4 KiB bucket than in the 16 KiB one
         need_w = 1
         need_in = 1
+        max_lclp = 0
         for p in plans:
             for lane in p.lanes:
                 need_w = max(need_w, lane.out_end[-1] - lane.seg_base)
@@ -459,18 +460,26 @@ def execute_plan_vmem(
                     need_in,
                     sum(e - s for s, e in zip(lane.in_start, lane.in_end)),
                 )
+                for lc, lp in zip(lane.lc, lane.lp):
+                    max_lclp = max(max_lclp, lc + lp)
         bucket = 2048
         while bucket < max(need_w, need_in) and bucket < 16384:
             bucket *= 2
+        # literal-table bucket: probability passes are O(NLIT * 768), so
+        # a tpu_profile archive (lc=0) pays for a 768-entry table, not
+        # 6144 (the lc+lp=3 default)
+        nlit = 1 << min(max_lclp, 3)
         # deeper unroll amortizes while-loop overhead and more lanes
         # amortize per-step op-issue overhead; both bounded by the 16 MB
         # scoped-VMEM stack (temporaries scale with UNROLL and L)
         if bucket <= 8192:
             config = vd.KernelConfig(
-                L=256, W=bucket, W_IN=bucket, UNROLL=2
+                L=256, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2
             )
         else:
-            config = vd.KernelConfig(W=bucket, W_IN=bucket, UNROLL=2)
+            config = vd.KernelConfig(
+                W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2
+            )
     cfg = config
     max_lclp = int(math.log2(cfg.NLIT))
 
