@@ -573,16 +573,27 @@ def decode_segments_vmem(
             length = jnp.where(good, sc_len, length)
             dist = jnp.where(good, sc_dist, dist)
 
-            # -------- Stage D: copy lanes move one byte --------------------
-            # (the source byte is read by the shared window port below)
+            # -------- Stage D: copy lanes move up to 4 bytes ----------------
+            # (the source word pair is read by the shared window port
+            # below). Per step a copy lane emits k bytes, where k keeps
+            # the write inside one dest word and inside the match/chunk;
+            # dist < 4 overlaps are handled by period-replicating the
+            # source group, so k never depends on dist.
             m = node0 == N_COPY
             over = m & (outp >= outend) & (length > 0)
             err = jnp.where(over & (err == ERR_NONE), ERR_SIZE, err)
             node = jnp.where(over, N_ERROR, node)
             m_w = m & ~over
-            length = jnp.where(m_w, length - 1, length)
+            k_copy = jnp.minimum(
+                jnp.minimum(4 - (outp & 3), length), outend - outp
+            )
+            k_copy = jnp.clip(k_copy, 1, 4)
+            nadv = jnp.where(m_w, k_copy, 1)  # literal lanes emit 1 byte
+            length = jnp.where(m_w, length - nadv, length)
             copy_done = m_w & (length == 0)
-            node, err = end_symbol(done_lit | copy_done, node, err, outp + 1)
+            node, err = end_symbol(
+                done_lit | copy_done, node, err, outp + nadv
+            )
             outp_w = outp  # emit position, before Stage E retargets outp
 
             # -------- Stage E: chunk setup ----------------------------------
@@ -663,13 +674,13 @@ def decode_segments_vmem(
             insta_done = go & (cout_start == cout_end)
             node = jnp.where(insta_done, N_CHUNK, node)
 
-            # -------- shared window READ port (one pass per step) ----------
-            # Row selected by node0 — the three users are mutually
+            # -------- shared window READ port (one traversal per step) -----
+            # Row pair selected by node0 — the three users are mutually
             # exclusive per lane:
-            #   N_COPY    -> match source byte           (outp - dist)
-            #   N_ISMATCH -> matched-literal byte        (outp - 1 - rep0)
+            #   N_COPY    -> match source group (4 bytes) (outp - dist)
+            #   N_ISMATCH -> matched-literal byte         (outp - 1 - rep0)
             #   N_CHUNK   -> prev byte for a chunk that resumes after a
-            #                prefilled gap               (cout_start - 1)
+            #                prefilled gap                (cout_start - 1)
             is_copy = node0 == N_COPY
             is_chunkn = node0 == N_CHUNK
             port_pos = jnp.where(
@@ -677,43 +688,100 @@ def decode_segments_vmem(
                 jnp.where(is_chunkn, cout_start - 1, outp_w - 1 - rep0),
             )
             port_pos = jnp.clip(port_pos, 0, W - 1)
-            port_word = onehot_read_word(
-                win_ref[:], port_pos >> 2, WIN_WORDS
+            pw_idx = port_pos >> 2
+            pw_rows = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, L), 0)
+            w0 = jnp.sum(
+                jnp.where(pw_rows == pw_idx[None, :], win_ref[:], 0), axis=0
             )
-            port_byte = _extract_byte(port_word, port_pos & 3)
+            pw1 = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
+            w1 = jnp.sum(
+                jnp.where(pw_rows == pw1[None, :], win_ref[:], 0), axis=0
+            )
+            port_byte = _extract_byte(w0, port_pos & 3)
             mbyte = jnp.where(matched, port_byte, mbyte)
-            copy_val = port_byte
-
-            # -------- combined window write (literal emit OR copy byte) ----
-            # packed read-modify-write of the target word
-            wmask = done_lit | m_w
-            wval = jnp.where(done_lit, lit_emit, copy_val)
-            widx = outp_w >> 2
-            k = outp_w & 3
-            old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
-            new_w = jnp.where(
-                k == 0, (old_w & ~0xFF) | wval,
+            # 4-byte little-endian group starting at port_pos (unaligned:
+            # constant-shift 4-way select; per-lane variable shifts are
+            # 2x slower in Mosaic)
+            w0u = w0.astype(_U32)
+            w1u = w1.astype(_U32)
+            a = port_pos & 3
+            grp = jnp.where(
+                a == 0, w0u,
                 jnp.where(
-                    k == 1,
-                    (old_w & ~(0xFF << 8)) | (wval << 8),
+                    a == 1, (w0u >> 8) | (w1u << 24),
                     jnp.where(
-                        k == 2,
-                        (old_w & ~(0xFF << 16)) | (wval << 16),
-                        (old_w & jnp.int32(0x00FFFFFF)) | (wval << 24),
+                        a == 2, (w0u >> 16) | (w1u << 16),
+                        (w0u >> 24) | (w1u << 8),
                     ),
                 ),
             )
-            wr = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, L), 0)
-            sel = (wr == widx[None, :]) & wmask[None, :]
-            win_ref[:] = jnp.where(sel, new_w[None, :], win_ref[:])
-            outp = jnp.where(wmask, outp + 1, outp)
+            # dist < 4: only the first `dist` source bytes exist yet;
+            # period-replicate them so all 4 group bytes are valid
+            b0 = grp & 0xFF
+            grp = jnp.where(
+                dist == 1, b0 * _U32(0x01010101),
+                jnp.where(
+                    dist == 2, (grp & 0xFFFF) * _U32(0x00010001),
+                    jnp.where(
+                        dist == 3, (grp & 0xFFFFFF) | (b0 << 24), grp
+                    ),
+                ),
+            )
 
-            # prev-byte register: last emitted byte; reloaded from the
-            # window when a chunk resumes after a prefilled gap; 0 at the
-            # start of a fresh segment.
+            # -------- combined window write (literal emit OR copy group) ---
+            # packed read-modify-write of the dest word: wcnt bytes of
+            # wval land at byte offset (outp & 3); k_copy keeps the span
+            # inside one word
+            wmask = done_lit | m_w
+            wcnt = jnp.where(m_w, k_copy, 1)
+            wval = jnp.where(done_lit, lit_emit.astype(_U32), grp)
+            bmask = jnp.where(
+                wcnt == 1, _U32(0xFF),
+                jnp.where(
+                    wcnt == 2, _U32(0xFFFF),
+                    jnp.where(wcnt == 3, _U32(0xFFFFFF), _U32(0xFFFFFFFF)),
+                ),
+            )
+            k = outp_w & 3
+            data_u = wval & bmask
+            placed = jnp.where(
+                k == 0, data_u,
+                jnp.where(
+                    k == 1, data_u << 8,
+                    jnp.where(k == 2, data_u << 16, data_u << 24),
+                ),
+            )
+            maskp = jnp.where(
+                k == 0, bmask,
+                jnp.where(
+                    k == 1, bmask << 8,
+                    jnp.where(k == 2, bmask << 16, bmask << 24),
+                ),
+            )
+            widx = outp_w >> 2
+            old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
+            new_w = (
+                (old_w.astype(_U32) & ~maskp) | placed
+            ).astype(_I32)
+            sel = (pw_rows == widx[None, :]) & wmask[None, :]
+            win_ref[:] = jnp.where(sel, new_w[None, :], win_ref[:])
+            outp = jnp.where(wmask, outp + wcnt, outp)
+
+            # prev-byte register: LAST emitted byte of the group;
+            # reloaded from the window when a chunk resumes after a
+            # prefilled gap; 0 at the start of a fresh segment.
+            lastb = jnp.where(
+                wcnt == 1, wval & 0xFF,
+                jnp.where(
+                    wcnt == 2, (wval >> 8) & 0xFF,
+                    jnp.where(
+                        wcnt == 3, (wval >> 16) & 0xFF, (wval >> 24) & 0xFF
+                    ),
+                ),
+            ).astype(_I32)
             first = go & (cout_start == 0)
             gap_go = go & (cout_start != outp_w) & (cout_start > 0)
-            prevb = jnp.where(wmask, wval, prevb)
+            prevb = jnp.where(wmask, lastb, prevb)
             prevb = jnp.where(gap_go, port_byte, prevb)
             prevb = jnp.where(first, 0, prevb)
 
