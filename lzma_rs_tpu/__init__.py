@@ -114,15 +114,20 @@ def lzma2_compress(
     *,
     level: Optional[int] = 6,
     props: int = -1,
+    dist_cap: int = 0,
 ) -> Optional[bytes]:
     """Compress data as an LZMA2 chunk stream (src/lib.rs:91-97).
 
     ``level`` 1-9 = real compression (beyond the reference's
     uncompressed-chunk writer); 0/None = stored chunks. ``props`` is a raw
-    LZMA props byte or -1 for lc=3 lp=0 pb=2."""
+    LZMA props byte or -1 for lc=3 lp=0 pb=2. ``dist_cap`` (0 = uncapped)
+    bounds match distances for the TPU ring-window decode profile."""
     from lzma_rs_tpu.encode.lzma2_enc import lzma2_compress as _enc
 
-    return _emit(_enc(_as_bytes(input), level, props=props), output)
+    return _emit(
+        _enc(_as_bytes(input), level, props=props, dist_cap=dist_cap),
+        output,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -145,6 +150,7 @@ def xz_compress(
     check_method: int = 0,
     level: Optional[int] = 6,
     props: int = -1,
+    dist_cap: int = 0,
     tpu_profile: bool = False,
 ) -> Optional[bytes]:
     """Compress data into a `.xz` stream (src/lib.rs:108-110).
@@ -158,8 +164,10 @@ def xz_compress(
 
     ``tpu_profile=True`` targets the VMEM TPU decode kernel
     (ops/vmem_decoder.py): small independent blocks (dict-reset segments
-    fit the kernel's VMEM window) and lc=0 (a 768-entry literal table
-    instead of 6144, tripling kernel step rate) — a few % larger archive
+    fit the kernel's VMEM window), lc=0 (a 768-entry literal table
+    instead of 6144, tripling kernel step rate), and capped match
+    distances (``dist_cap``) so the decode's window reads hit the
+    kernel's VMEM-resident recent-history ring — a few % larger archive
     that decodes dramatically faster on TPU."""
     from lzma_rs_tpu.encode.xz_enc import xz_compress as _enc
 
@@ -168,9 +176,12 @@ def xz_compress(
             block_size = 8192
         if props < 0:
             props = 0 + 9 * (0 + 5 * 2)  # lc=0 lp=0 pb=2
+        if dist_cap == 0:
+            dist_cap = 2048  # ring-window bucket (ops/vmem_decoder.py)
     return _emit(
         _enc(_as_bytes(input), block_size=block_size,
-             check_method=check_method, level=level, props=props),
+             check_method=check_method, level=level, props=props,
+             dist_cap=dist_cap),
         output,
     )
 

@@ -38,14 +38,32 @@ def lzma2_compress(
     level: Optional[int] = DEFAULT_LEVEL,
     chunk_size: int = CHUNK,
     props: int = -1,
+    dist_cap: int = 0,
 ) -> bytes:
     """``chunk_size`` sets unpacked bytes per LZMA2 chunk (256..65536).
     Smaller chunks cost a little ratio but bound the per-chunk work unit
     (the VMEM TPU kernel wants segments <= its window). ``props`` is a raw
     LZMA props byte (lc + 9*(lp + 5*pb)) or -1 for the default lc=3 lp=0
     pb=2; small lc+lp shrinks the literal-probability table the TPU kernel
-    must keep in VMEM (see ops/vmem_decoder.py)."""
+    must keep in VMEM (see ops/vmem_decoder.py). ``dist_cap`` (0 =
+    uncapped) bounds match distances so the archive decodes on the TPU
+    ring-window kernel, which keeps only the last ``dist_cap`` bytes of
+    history resident."""
     data = bytes(data)
+    if props != -1:
+        # Validate here so callers get an error instead of the native
+        # encoder's silent clamp to the default lc=3 lp=0 pb=2 (which
+        # would produce a structurally different archive than requested).
+        if not 0 <= props < 225:
+            raise ValueError(
+                f"invalid LZMA props byte {props}: must be in [0, 225)"
+            )
+        lc = props % 9
+        lp = (props // 9) % 5
+        if lc + lp > 4:
+            raise ValueError(
+                f"unsupported LZMA props: lc + lp ({lc} + {lp}) must be <= 4"
+            )
     if level:
         try:
             from lzma_rs_tpu.native import loader
@@ -55,6 +73,6 @@ def lzma2_compress(
             lib = None
         if lib is not None:
             return lib.lzma2_compress(
-                data, int(level), int(chunk_size), int(props)
+                data, int(level), int(chunk_size), int(props), int(dist_cap)
             )
     return _store(data)

@@ -26,6 +26,7 @@ def xz_compress(
     check_method: int = xz_fmt.CHECK_NONE,
     level: int | None = 6,
     props: int = -1,
+    dist_cap: int = 0,
 ) -> bytes:
     """``level`` 1-9 = real compression (native greedy encoder, dictionary
     per block so blocks stay independently decodable); 0/None = stored
@@ -38,7 +39,7 @@ def xz_compress(
 
     records = []
     if len(data) == 0:
-        payload = lzma2_compress(b"", level, props=props)
+        payload = lzma2_compress(b"", level, props=props, dist_cap=dist_cap)
         records.append(
             xz_fmt.write_block(writer, payload, b"", check_method=check_method)
         )
@@ -58,12 +59,17 @@ def xz_compress(
             ) as pool:
                 payloads = list(
                     pool.map(
-                        lambda b: lzma2_compress(b, level, props=props),
+                        lambda b: lzma2_compress(
+                            b, level, props=props, dist_cap=dist_cap
+                        ),
                         blocks,
                     )
                 )
         else:
-            payloads = [lzma2_compress(blocks[0], level, props=props)]
+            payloads = [
+                lzma2_compress(blocks[0], level, props=props,
+                               dist_cap=dist_cap)
+            ]
         for raw, payload in zip(blocks, payloads):
             records.append(
                 xz_fmt.write_block(writer, payload, raw, check_method=check_method)

@@ -9,7 +9,8 @@ Behavioral spec from the reference (`/root/reference/src/decode/xz.rs:18-464`,
 - block header: size byte ``(hs << 2) - 1``, flags (num filters, reserved
   bits must be zero, optional packed/unpacked varints), filter chain (only
   0x21 = LZMA2 accepted), zero padding, CRC32,
-- per-block check (None/CRC32/CRC64 verified; SHA-256 → error),
+- per-block check (None/CRC32/CRC64/SHA-256 all verified — SHA-256 is a
+  documented superset: the reference rejects it, decode/xz.rs:326-330),
 - index: record count + per-record unpadded/unpacked varints + padding +
   CRC32, all cross-checked against the decoded blocks,
 - footer: CRC32 over backward_size + flags, backward_size must equal
@@ -410,6 +411,11 @@ def write_block(
     elif check_method == CHECK_CRC64:
         writer.write(crc64(raw_data).to_bytes(8, "little"))
         unpadded += 8
+    elif check_method == CHECK_SHA256:
+        import hashlib
+
+        writer.write(hashlib.sha256(raw_data).digest())
+        unpadded += 32
     return Record(unpadded_size=unpadded, unpacked_size=len(raw_data))
 
 

@@ -28,6 +28,12 @@ from lzma_rs_tpu.utils.cursor import ByteCursor
 from lzma_rs_tpu.utils.errors import IoError, LzmaError, XzError
 
 
+#: Sentinel for ``LzmaDecoder.reset``: keep the current unpacked size
+#: (the reference's outer ``None`` in ``Option<Option<u64>>``,
+#: decode/lzma.rs:624-631).
+KEEP_UNPACKED_SIZE = object()
+
+
 class LzmaDecoder:
     """Raw LZMA decoder (reference ``LzmaDecoder``, decode/lzma.rs:595-649)."""
 
@@ -36,15 +42,17 @@ class LzmaDecoder:
         self.memlimit = memlimit
         self.state = DecoderState(params.properties, params.unpacked_size)
 
-    def reset(self, unpacked_size: Optional[Optional[int]] = None) -> None:
+    def reset(self, unpacked_size=KEEP_UNPACKED_SIZE) -> None:
         """Reset to a freshly-initialized state (decode/lzma.rs:625-631).
 
-        ``unpacked_size`` follows the reference's Option<Option<u64>>:
-        pass nothing to keep the old value, or an (possibly-None) int to
-        replace it.
+        ``unpacked_size`` mirrors the reference's ``Option<Option<u64>>``:
+        pass nothing (``KEEP_UNPACKED_SIZE``) to keep the old value
+        (reference ``None``), ``None`` to mark the size unknown / EOS-
+        terminated (reference ``Some(None)``), or an int to replace it
+        (reference ``Some(Some(n))``).
         """
         self.state.reset_state(self.params.properties)
-        if unpacked_size is not None:
+        if unpacked_size is not KEEP_UNPACKED_SIZE:
             self.state.set_unpacked_size(unpacked_size)
 
     def decompress(self, cursor: ByteCursor) -> bytes:

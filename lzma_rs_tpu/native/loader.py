@@ -81,6 +81,7 @@ class NativeLib:
             ctypes.c_int,
             ctypes.c_size_t,  # chunk size (unpacked bytes per chunk)
             ctypes.c_int,  # props byte, or -1 for lc=3 lp=0 pb=2
+            ctypes.c_size_t,  # match-distance cap (0 = uncapped)
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t),
         ]
@@ -181,12 +182,12 @@ class NativeLib:
 
     def lzma2_compress(
         self, data: bytes, level: int, chunk_size: int = 65536,
-        props: int = -1,
+        props: int = -1, dist_cap: int = 0,
     ) -> bytes:
         buf = ctypes.c_void_p()
         n = ctypes.c_size_t()
         self._lib.lrt_lzma2_compress(
-            data, len(data), level, chunk_size, props,
+            data, len(data), level, chunk_size, props, dist_cap,
             ctypes.byref(buf), ctypes.byref(n),
         )
         return self._take(buf, n)
@@ -275,7 +276,7 @@ def _pgo_train(so_path: str) -> None:
     lib.lrt_lzma2_compress.restype = ctypes.c_int
     lib.lrt_lzma2_compress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
     ]
     lib.lrt_lzma2_decode.restype = ctypes.c_int
@@ -299,7 +300,7 @@ def _pgo_train(so_path: str) -> None:
 
     buf = ctypes.c_void_p()
     n = ctypes.c_size_t()
-    lib.lrt_lzma2_compress(train, len(train), 6, 65536, -1,
+    lib.lrt_lzma2_compress(train, len(train), 6, 65536, -1, 0,
                            ctypes.byref(buf), ctypes.byref(n))
     comp = ctypes.string_at(buf.value, n.value)
     lib.lrt_free(buf)

@@ -881,12 +881,12 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
 // Output is a complete LZMA2 chunk stream (0x00-terminated).
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 bool price_mode, int props,
+                                 bool price_mode, int props, size_t dist_cap,
                                  std::string& out);
 
 int lrt_lzma2_compress(const char* data, size_t n, int level,
-                       size_t chunk_size, int props, void** out_buf,
-                       size_t* out_len) {
+                       size_t chunk_size, int props, size_t dist_cap,
+                       void** out_buf, size_t* out_len) {
   int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 128;
   // levels >= 4 pay for bit-price candidate selection (better ratio)
   bool price_mode = level >= 4;
@@ -897,12 +897,15 @@ int lrt_lzma2_compress(const char* data, size_t n, int level,
   if (props < 0 || props >= 225 ||
       props % 9 + (props / 9) % 5 > 4)
     props = 3 + 9 * (0 + 5 * 2);
+  // dist_cap (0 = uncapped) bounds match distances: the TPU ring-window
+  // kernel keeps only the last dist_cap bytes of history in VMEM, so
+  // archives encoded with a cap decode on the fast ring path.
   std::string out;
   out.reserve(n / 3 + 64);
   if (n > 0)
     lzma2_compress_block(reinterpret_cast<const uint8_t*>(data), n, depth,
                          /*first_block=*/1, chunk_size, price_mode, props,
-                         out);
+                         dist_cap, out);
   out.push_back('\0');
   *out_buf = dup_out(out);
   *out_len = out.size();
@@ -1272,7 +1275,8 @@ constexpr size_t kEncDictSize = size_t(1) << 23;
 // with one-position lazy lookahead.
 static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
                                      size_t end, MatchFinder& mf,
-                                     LzmaEncoder& enc, bool price_mode) {
+                                     LzmaEncoder& enc, bool price_mode,
+                                     size_t dist_cap) {
   enc.rc = RangeEncoder();
   const int pb = enc.pb;
   size_t pos = start;
@@ -1280,8 +1284,10 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
     size_t pos_state = pos & ((size_t(1) << pb) - 1);
     size_t limit = end - pos;
     if (limit > kMaxMatchLen) limit = kMaxMatchLen;
-    // window = block start .. pos, capped by the declared dict size
+    // window = block start .. pos, capped by the declared dict size and
+    // the optional ring cap (TPU ring-window decode profile)
     size_t max_dist = pos < kEncDictSize ? pos : kEncDictSize;
+    if (dist_cap && max_dist > dist_cap) max_dist = dist_cap;
 
     // rep candidates
     uint32_t rep_len[4] = {0, 0, 0, 0};
@@ -1484,7 +1490,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
 // chunk resets state (reset_mode 1) as the spec requires.
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 bool price_mode, int props,
+                                 bool price_mode, int props, size_t dist_cap,
                                  std::string& out) {
   const size_t kChunk = chunk_size;
   MatchFinder mf(data, n, depth);
@@ -1511,7 +1517,7 @@ static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
     uint32_t rep_snap[4] = {enc.rep[0], enc.rep[1], enc.rep[2], enc.rep[3]};
 
     std::string payload =
-        encode_lzma_chunk(data, pos, end, mf, enc, price_mode);
+        encode_lzma_chunk(data, pos, end, mf, enc, price_mode, dist_cap);
     if (payload.size() + 6 < unpacked && payload.size() <= 65536) {
       int reset_mode = next_reset;
       uint32_t usz = uint32_t(unpacked - 1);

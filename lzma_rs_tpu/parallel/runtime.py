@@ -412,7 +412,62 @@ def _execute_native_blockwise(
 class VmemIneligible(Exception):
     """The plan does not fit the VMEM kernel's static budget (segment or
     staged input larger than the window bucket, too many chunks per
-    segment, or literal contexts beyond the table size)."""
+    segment, or literal contexts beyond the table size). Carries the
+    specific reason; runtimes record it in stats so fallbacks are never
+    silent."""
+
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+def _record_fallback(reason: str) -> None:
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    st = stats_mod.current()
+    if st is not None:
+        st.fallbacks.append(reason)
+    log.debug("fallback: %s", reason)
+
+
+def choose_vmem_config(plans: List[DecodePlan]):
+    """Pick the VMEM kernel shape bucket for a set of plans.
+
+    Smallest window bucket that fits every segment — one-hot window passes
+    are O(W), so a 4 KiB-block archive decodes ~4x faster in the 4 KiB
+    bucket than in the 16 KiB one. The literal-table bucket follows the
+    archive's lc+lp (probability passes are O(NLIT * 768): a tpu_profile
+    archive with lc=0 pays for a 768-entry table, not 6144)."""
+    from lzma_rs_tpu.ops import vmem_decoder as vd
+
+    need_w = 1
+    need_in = 1
+    max_lclp = 0
+    for p in plans:
+        for lane in p.lanes:
+            need_w = max(need_w, lane.out_end[-1] - lane.seg_base)
+            need_in = max(
+                need_in,
+                sum(e - s for s, e in zip(lane.in_start, lane.in_end)),
+            )
+            for lc, lp in zip(lane.lc, lane.lp):
+                max_lclp = max(max_lclp, lc + lp)
+    bucket = 2048
+    while bucket < max(need_w, need_in) and bucket < 16384:
+        bucket *= 2
+    nlit = 1 << min(max_lclp, 3)
+    # deeper unroll amortizes while-loop overhead and more lanes amortize
+    # per-step op-issue overhead; both bounded by the 16 MB scoped-VMEM
+    # stack (temporaries scale with UNROLL and L)
+    L = 256 if bucket <= 8192 else 128
+    # Per-device lane-count override: smaller slabs spread few-segment
+    # archives across more chips (and keep CPU dryruns/test runs small).
+    import os
+
+    env_l = os.environ.get("LZMA_RS_TPU_VMEM_L")
+    if env_l:
+        L = max(1, int(env_l))
+    return vd.KernelConfig(L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2)
 
 
 @functools.lru_cache(maxsize=4)
@@ -425,6 +480,60 @@ def _jitted_vmem_decoder():
     return jax.jit(
         decode_segments_vmem,
         static_argnames=("config", "max_iters", "interpret"),
+    )
+
+
+def _n_local_devices() -> int:
+    """Local devices available to the decode runtime (capped by the
+    LZMA_RS_TPU_DEVICES env var)."""
+    import os
+
+    import jax
+
+    n = len(jax.devices())
+    cap = os.environ.get("LZMA_RS_TPU_DEVICES")
+    if cap:
+        n = min(n, max(1, int(cap)))
+    return n
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_vmem_decoder(n_dev: int, config, max_iters: int,
+                          interpret: bool):
+    """The production multi-chip decode step: the VMEM kernel shard_map'd
+    over a 1-D ``dp`` mesh of local devices (``MeshConfig.make_mesh``).
+
+    Lanes (= independent dict-reset segments) are the codec's data-parallel
+    axis (SURVEY.md §2.3); every kernel operand carries lanes on the minor
+    axis, so sharding is a pure split — no collectives are needed, and
+    reassembly offsets are known before decode from the chunk table."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from lzma_rs_tpu.ops.vmem_decoder import decode_segments_vmem
+    from lzma_rs_tpu.parallel.mesh import MeshConfig
+
+    _enable_compile_cache()
+    mesh = MeshConfig(n_devices=n_dev).make_mesh()
+    spec = P(None, "dp")
+
+    def inner(*args):
+        return decode_segments_vmem(
+            *args, config=config, max_iters=max_iters, interpret=interpret
+        )
+
+    # check_vma=False: the kernel's while-loop carry mixes device-varying
+    # lane state with replicated scalars (step counter); the outputs are
+    # all lane-sharded so the skipped check cannot hide a real mismatch.
+    return jax.jit(
+        shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(spec,) * 11,
+            out_specs=(spec,) * 4,
+            check_vma=False,
+        )
     )
 
 
@@ -447,39 +556,7 @@ def execute_plan_vmem(
     from lzma_rs_tpu.ops import vmem_decoder as vd
 
     if config is None:
-        # pick the smallest window bucket that fits every segment —
-        # one-hot window passes are O(W), so a 4 KiB-block archive
-        # decodes ~4x faster in the 4 KiB bucket than in the 16 KiB one
-        need_w = 1
-        need_in = 1
-        max_lclp = 0
-        for p in plans:
-            for lane in p.lanes:
-                need_w = max(need_w, lane.out_end[-1] - lane.seg_base)
-                need_in = max(
-                    need_in,
-                    sum(e - s for s, e in zip(lane.in_start, lane.in_end)),
-                )
-                for lc, lp in zip(lane.lc, lane.lp):
-                    max_lclp = max(max_lclp, lc + lp)
-        bucket = 2048
-        while bucket < max(need_w, need_in) and bucket < 16384:
-            bucket *= 2
-        # literal-table bucket: probability passes are O(NLIT * 768), so
-        # a tpu_profile archive (lc=0) pays for a 768-entry table, not
-        # 6144 (the lc+lp=3 default)
-        nlit = 1 << min(max_lclp, 3)
-        # deeper unroll amortizes while-loop overhead and more lanes
-        # amortize per-step op-issue overhead; both bounded by the 16 MB
-        # scoped-VMEM stack (temporaries scale with UNROLL and L)
-        if bucket <= 8192:
-            config = vd.KernelConfig(
-                L=256, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2
-            )
-        else:
-            config = vd.KernelConfig(
-                W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2
-            )
+        config = choose_vmem_config(plans)
     cfg = config
     max_lclp = int(math.log2(cfg.NLIT))
 
@@ -490,17 +567,29 @@ def execute_plan_vmem(
         lanes.extend(p.lanes)
         prefill.extend(p.prefill)
 
-    # Eligibility gate before any staging work.
+    # Eligibility gate before any staging work. Reasons are explicit so
+    # callers can record why the fast path was skipped (stats.fallbacks).
     for lane in lanes:
         seg_len = lane.out_end[-1] - lane.seg_base
         packed = sum(e - s for s, e in zip(lane.in_start, lane.in_end))
-        if (
-            seg_len > cfg.W
-            or packed > cfg.W_IN
-            or len(lane.in_start) > cfg.K
-            or any(lc + lp > max_lclp for lc, lp in zip(lane.lc, lane.lp))
-        ):
-            raise VmemIneligible()
+        if seg_len > cfg.W:
+            raise VmemIneligible(
+                f"segment {seg_len} B > window bucket {cfg.W} B"
+            )
+        if packed > cfg.W_IN:
+            raise VmemIneligible(
+                f"segment packed input {packed} B > input bucket {cfg.W_IN} B"
+            )
+        if len(lane.in_start) > cfg.K:
+            raise VmemIneligible(
+                f"segment has {len(lane.in_start)} chunks > K={cfg.K}"
+            )
+        for lc, lp in zip(lane.lc, lane.lp):
+            if lc + lp > max_lclp:
+                raise VmemIneligible(
+                    f"lc+lp={lc + lp} > literal-table budget {max_lclp} "
+                    f"(NLIT={cfg.NLIT})"
+                )
 
     out = np.zeros(total_out, dtype=np.uint8)
     src = np.frombuffer(data, dtype=np.uint8)
@@ -526,9 +615,31 @@ def execute_plan_vmem(
     # byte (copies), chunk setups, refill waits, and up to ~2 maintenance
     # periods of reset-parking per chunk (vmem_decoder Stage E).
     max_iters = 8 * cfg.W_IN + 2 * cfg.W + cfg.MAINT * (3 * cfg.K + 4) + 1024
-    fn = _jitted_vmem_decoder()
 
-    L, K = cfg.L, cfg.K
+    # Shard lane batches over the local device mesh: each device runs the
+    # kernel on its own cfg.L-lane slab (pure dp split along the minor
+    # axis). A batch smaller than one slab stays single-device.
+    n_dev = _n_local_devices()
+    if n_dev > 1:
+        n_dev = min(n_dev, max(1, -(-len(lanes) // cfg.L)))
+    if n_dev > 1:
+        sharded = _sharded_vmem_decoder(n_dev, cfg, max_iters, interpret)
+
+        def call(*arrays):
+            return sharded(*arrays)
+    else:
+        fn0 = _jitted_vmem_decoder()
+
+        def call(*arrays):
+            return fn0(
+                *arrays, config=cfg, max_iters=max_iters,
+                interpret=interpret,
+            )
+
+    if st is not None:
+        st.devices = max(st.devices, n_dev)
+
+    L, K = cfg.L * n_dev, cfg.K
     with stats_mod.launch_timer(st):
         # Dispatch every batch before touching any result: jax dispatch
         # is async, so batch N+1's host-side packing overlaps batch N's
@@ -574,14 +685,13 @@ def execute_plan_vmem(
             # one-hot elements from packing, no lane->sublane relayouts)
             inbuf_w = np.ascontiguousarray(inbuf).view("<i4").T
             win_w = np.ascontiguousarray(win_init).view("<i4").T
-            win, err, outp, iters = fn(
+            win, err, outp, iters = call(
                 jnp.asarray(inbuf_w), jnp.asarray(win_w),
                 jnp.asarray(in_start.T), jnp.asarray(in_end.T),
                 jnp.asarray(out_start.T), jnp.asarray(out_end.T),
                 jnp.asarray(reset_state.T), jnp.asarray(lcs.T),
                 jnp.asarray(lps.T), jnp.asarray(pbs.T),
                 jnp.asarray(valid.T),
-                config=cfg, max_iters=max_iters, interpret=interpret,
             )
             pending_batches.append(
                 (base, batch, seg_lens, win, err, outp, iters)
@@ -642,6 +752,7 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
     try:
         plan, consumed = plan_lzma2_stream(data, 0, 0)
     except UnparallelizableStream:
+        _record_fallback("host: stream carries prob state across dict reset")
         return _host_lzma2(data)
     if engine == "native":
         try:
@@ -652,15 +763,18 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
     if engine == "tpu-vmem" or (engine == "tpu" and _on_tpu()):
         try:
             return execute_plan_vmem(data, [plan])
-        except VmemIneligible:
+        except VmemIneligible as e:
+            _record_fallback(f"vmem-ineligible: {e.reason}")
             if engine == "tpu-vmem":
                 return _host_lzma2(data)
-        except _KernelError:
+        except _KernelError as e:
+            _record_fallback(f"host replay: lane error code {e.code}")
             return _host_lzma2(data)
     try:
         return execute_plan(data, [plan])
-    except _KernelError:
+    except _KernelError as e:
         # Corrupt stream: replay on host for the reference-parity error.
+        _record_fallback(f"host replay: lane error code {e.code}")
         return _host_lzma2(data)
 
 
@@ -707,6 +821,7 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
     try:
         return _xz_decode_parallel(data, engine)
     except UnparallelizableStream:
+        _record_fallback("host: stream carries prob state across dict reset")
         from lzma_rs_tpu.models.codecs import xz_decode_stream
 
         return xz_decode_stream(ByteCursor(data))
@@ -795,19 +910,22 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
         if engine == "tpu-vmem" or (engine == "tpu" and _on_tpu()):
             try:
                 out = execute_plan_vmem(data, plans)
-            except VmemIneligible:
+            except VmemIneligible as e:
+                _record_fallback(f"vmem-ineligible: {e.reason}")
                 if engine == "tpu-vmem":
                     from lzma_rs_tpu.models.codecs import xz_decode_stream
 
                     return xz_decode_stream(ByteCursor(data))
-            except _KernelError:
+            except _KernelError as e:
+                _record_fallback(f"host replay: lane error code {e.code}")
                 from lzma_rs_tpu.models.codecs import xz_decode_stream
 
                 return xz_decode_stream(ByteCursor(data))
         if out is None:
             try:
                 out = execute_plan(data, plans)
-            except _KernelError:
+            except _KernelError as e:
+                _record_fallback(f"host replay: lane error code {e.code}")
                 from lzma_rs_tpu.models.codecs import xz_decode_stream
 
                 return xz_decode_stream(ByteCursor(data))
@@ -824,18 +942,27 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
         block_out = outv[out0 : out0 + outn]
         import os as _os
 
+        # Device CRC (ops/crc_device.py, MXU GF(2) matmul) is the default
+        # on the tpu engine for large blocks. The round-1 TPU miscompile is
+        # RESOLVED (the kernel returns the parity matrix and the host packs;
+        # verified bit-exact on v5e: crc32 51 MB/s, crc64 42 MB/s warm).
+        # Opt out with LZMA_RS_TPU_DEVICE_CRC=0; small blocks stay on host
+        # zlib (launch latency dominates under ~1 MiB).
         if (
             engine == "tpu"
-            and _os.environ.get("LZMA_RS_TPU_DEVICE_CRC")
-            # bit-exact on CPU for all lengths (tests/test_crc_device.py);
-            # a TPU-lowering discrepancy at L>=2 is still under
-            # investigation, so on-device verification stays opt-in
+            and _os.environ.get("LZMA_RS_TPU_DEVICE_CRC", "1") != "0"
+            and (_on_tpu() or _os.environ.get("LZMA_RS_TPU_DEVICE_CRC"))
             and outn >= (1 << 20)
             and header_flags.check_method
             in (xz_fmt.CHECK_CRC32, xz_fmt.CHECK_CRC64)
         ):
-            from lzma_rs_tpu.ops import crc_device
+            import time as _time
 
+            from lzma_rs_tpu.ops import crc_device
+            from lzma_rs_tpu.utils import stats as stats_mod
+
+            st = stats_mod.current()
+            t0 = _time.perf_counter()
             if header_flags.check_method == xz_fmt.CHECK_CRC32:
                 expected = chk.read_u32_le()
                 digest = crc_device.crc32_device(bytes(block_out))
@@ -852,6 +979,9 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
                         f"Invalid block CRC64, expected 0x{expected:016x} "
                         f"but got 0x{digest:016x}"
                     )
+            if st is not None:
+                st.device_crc_seconds += _time.perf_counter() - t0
+                st.device_crc_bytes += outn
         else:
             xz_fmt.validate_block_check(
                 chk, block_out, header_flags.check_method

@@ -11,11 +11,18 @@ from __future__ import annotations
 from typing import Optional
 
 from lzma_rs_tpu.formats.lzma_header import LzmaParams, LzmaProperties
+from lzma_rs_tpu.models.codecs import KEEP_UNPACKED_SIZE
 from lzma_rs_tpu.models.codecs import Lzma2Decoder as _SpecLzma2Decoder
 from lzma_rs_tpu.models.codecs import LzmaDecoder as _SpecLzmaDecoder
 from lzma_rs_tpu.utils.cursor import ByteCursor
 
-__all__ = ["LzmaDecoder", "Lzma2Decoder", "LzmaParams", "LzmaProperties"]
+__all__ = [
+    "LzmaDecoder",
+    "Lzma2Decoder",
+    "LzmaParams",
+    "LzmaProperties",
+    "KEEP_UNPACKED_SIZE",
+]
 
 
 class LzmaDecoder:
@@ -28,7 +35,10 @@ class LzmaDecoder:
     def params(self) -> LzmaParams:
         return self._inner.params
 
-    def reset(self, unpacked_size: Optional[Optional[int]] = None) -> None:
+    def reset(self, unpacked_size=KEEP_UNPACKED_SIZE) -> None:
+        """Mirror of the reference's ``reset(Option<Option<u64>>)``
+        (decode/lzma.rs:624-631): default keeps the current unpacked
+        size, ``None`` marks it unknown, an int replaces it."""
         self._inner.reset(unpacked_size)
 
     def decompress(self, data) -> bytes:

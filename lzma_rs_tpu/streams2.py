@@ -278,6 +278,13 @@ class XzStream:
                     self.v = crc_mod.crc64(d, self.v)
 
             return H64()
+        if check == xz_fmt.CHECK_SHA256:
+            # One policy across one-shot and streaming: SHA-256 is
+            # *verified* (documented superset of the reference, which
+            # rejects it: /root/reference/src/decode/xz.rs:326-330).
+            import hashlib
+
+            return hashlib.sha256()
         return None
 
     # -- state machine -------------------------------------------------------
@@ -424,7 +431,12 @@ class XzStream:
                     f"but got 0x{self._hasher.v:016x}"
                 )
         elif check == xz_fmt.CHECK_SHA256:
-            raise XzError("Unsupported check method SHA-256")
+            digest = self._hasher.digest()
+            if check_bytes != digest:
+                raise XzError(
+                    f"Invalid block SHA-256, expected {check_bytes.hex()} "
+                    f"but got {digest.hex()}"
+                )
 
     # -- public API -----------------------------------------------------------
 

@@ -45,7 +45,14 @@ class DecodeStats:
     prefill_bytes: int = 0
     launch_seconds: float = 0.0
     kernel_iters: int = 0
+    device_crc_seconds: float = 0.0
+    device_crc_bytes: int = 0
+    devices: int = 0
     blocks: List[BlockStat] = dataclasses.field(default_factory=list)
+    #: Why a faster engine was skipped (e.g. "vmem-ineligible: segment
+    #: 131072 > window 16384"). Per SURVEY's "no silent caps": TPU perf
+    #: reports must not silently measure a fallback engine.
+    fallbacks: List[str] = dataclasses.field(default_factory=list)
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

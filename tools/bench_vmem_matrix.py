@@ -18,7 +18,19 @@ CORPUS = os.path.join(os.path.dirname(os.path.dirname(
 def load_corpus(mb):
     if os.path.exists(CORPUS):
         return open(CORPUS, "rb").read()[: int(mb * 1e6)]
-    seed = open("/root/reference/tests/files/foo.txt", "rb").read()
+    ref_dir = os.environ.get("LZMA_RS_REFERENCE", "/root/reference")
+    foo = os.path.join(ref_dir, "tests", "files", "foo.txt")
+    if os.path.exists(foo):
+        seed = open(foo, "rb").read()
+    else:
+        # synthetic text-like corpus: repeated source files from this repo
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        parts = []
+        for root, _, files in os.walk(os.path.join(here, "lzma_rs_tpu")):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    parts.append(open(os.path.join(root, f), "rb").read())
+        seed = b"\n".join(parts) or b"the quick brown fox " * 1024
     return (seed * (int(mb * 1e6) // len(seed) + 1))[: int(mb * 1e6)]
 
 
