@@ -86,6 +86,9 @@ ERR_SIZE = 4
 ERR_EOS_EXTRA = 5
 ERR_SHORT = 6
 ERR_MATCHDIST = 7
+# Ring-mode only: a (valid) match distance exceeds the resident ring.
+# Not corruption — the host retries the batch on the full-window kernel.
+ERR_RING = 8
 
 # ---------------------------------------------------------------------------
 # Hot probability table layout (per lane): everything except literals.
@@ -137,7 +140,19 @@ def _after_shortrep(state):
 @dataclasses.dataclass(frozen=True)
 class KernelConfig:
     """Static shape bucket. VMEM ~= L*(W + W_IN + 4*(NLIT*768 + 2048 + 768
-    + 256)) bytes; the default (128, 16384, 16384, 8) is ~12 MB."""
+    + 256)) bytes; the default (128, 16384, 16384, 8) is ~12 MB.
+
+    ``RING`` > 0 selects the ring-window mode: all window reads (match
+    sources, matched-literal bytes) and the read-modify-write output port
+    hit a VMEM ring of the most recent RING bytes, and the ring bulk-
+    flushes to the full output window once per maintenance period. The
+    per-step window passes shrink from O(W/4) to O(RING/4) rows — the
+    dominant cost at W=16K. Requires match distances <= RING (the kernel
+    flags ERR_RING otherwise and the host retries on the full-window
+    kernel; archives from ``xz_compress(tpu_profile=True)`` are encoded
+    with ``dist_cap=RING`` so they always stay on the ring path) and
+    gap-free segments (no mid-segment stored chunks — the ring never
+    learns prefilled bytes)."""
 
     L: int = 128        # lanes (independent dict-reset segments)
     W: int = 16384      # window/output bytes per lane (max segment size)
@@ -147,6 +162,16 @@ class KernelConfig:
     TILE: int = 256     # input lookahead tile width
     MAINT: int = 64     # lookahead refill period (consumption <= 1 B/step)
     UNROLL: int = 2     # steps per inner while iteration (divides MAINT)
+    RING: int = 0       # resident-history bytes (0 = full-window mode)
+
+    def __post_init__(self):
+        if self.RING:
+            assert self.RING % 4 == 0 and self.RING & (self.RING - 1) == 0
+            assert self.RING <= self.W
+            assert self.W % self.RING == 0
+            # dirty bytes per maintenance period (<= 4 B/step) plus the
+            # flush's word-rounded low edge must fit the ring
+            assert 4 * self.MAINT + 4 <= self.RING
 
     @property
     def lit_w(self) -> int:
@@ -180,15 +205,20 @@ def decode_segments_vmem(
     TILE_WORDS = TILE // 4
     ROW_WORDS = 32  # 128 bytes per input row
 
+    RW_WORDS = cfg.RING // 4 if cfg.RING else 0
+
     def kernel(
         in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, rs_ref,
         lc_ref, lp_ref, pb_ref, va_ref,
         win_ref, err_ref, outp_ref, iters_ref,
-        prob_ref, tile_ref,
+        prob_ref, tile_ref, *extra_scratch,
     ):
+        ring_ref = extra_scratch[0] if cfg.RING else None
         win_ref[:] = win_in_ref[:]
         prob_ref[:] = jnp.full((PROB_WORDS, L), PROB_PACKED, _I32)
         tile_ref[:] = jnp.zeros((TILE_WORDS, L), _I32)
+        if cfg.RING:
+            ring_ref[:] = jnp.zeros((RW_WORDS, L), _I32)
 
 
         # All tables are stored TRANSPOSED — [W, L] with lanes on the
@@ -373,6 +403,14 @@ def decode_segments_vmem(
             err = jnp.where(bad_md & (err == ERR_NONE), ERR_MATCHDIST, err)
             node = jnp.where(bad_md, N_ERROR, node)
             matched = matched & ~bad_md
+            if cfg.RING:
+                # matched-literal byte beyond the resident ring: bail to
+                # the full-window kernel (host retries on ERR_RING)
+                far_ml = matched & (rep0 + 1 > cfg.RING)
+                err = jnp.where(far_ml & (err == ERR_NONE), ERR_RING, err)
+                node = jnp.where(far_ml, N_ERROR, node)
+                matched = matched & ~far_ml
+                bad_md = bad_md | far_ml
             # matched byte is read by the shared window port below
             start_lit = m0 & ~bad_md
             acc = jnp.where(start_lit, 1, acc)
@@ -569,6 +607,13 @@ def decode_segments_vmem(
             err = jnp.where(bad & (err == ERR_NONE), ERR_DIST_OUT, err)
             node = jnp.where(bad, N_ERROR, node)
             good = sc & ~bad
+            if cfg.RING:
+                # valid distance beyond the ring: not corruption — flag
+                # ERR_RING so the host retries on the full-window kernel
+                ring_far = good & (sc_dist > cfg.RING)
+                err = jnp.where(ring_far & (err == ERR_NONE), ERR_RING, err)
+                node = jnp.where(ring_far, N_ERROR, node)
+                good = good & ~ring_far
             node = jnp.where(good, N_COPY, node)
             length = jnp.where(good, sc_len, length)
             dist = jnp.where(good, sc_dist, dist)
@@ -689,14 +734,33 @@ def decode_segments_vmem(
             )
             port_pos = jnp.clip(port_pos, 0, W - 1)
             pw_idx = port_pos >> 2
-            pw_rows = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, L), 0)
-            w0 = jnp.sum(
-                jnp.where(pw_rows == pw_idx[None, :], win_ref[:], 0), axis=0
-            )
-            pw1 = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
-            w1 = jnp.sum(
-                jnp.where(pw_rows == pw1[None, :], win_ref[:], 0), axis=0
-            )
+            if cfg.RING:
+                # ring-resident history: positions in [outp - RING, outp)
+                # live at word (pos >> 2) mod RW_WORDS. All port users are
+                # ring-bounded (dist/rep0 checked above; gap-resume chunks
+                # are excluded from ring plans by the runtime gate).
+                pw_rows = jax.lax.broadcasted_iota(_I32, (RW_WORDS, L), 0)
+                r0 = pw_idx & (RW_WORDS - 1)
+                r1 = (pw_idx + 1) & (RW_WORDS - 1)
+                w0 = jnp.sum(
+                    jnp.where(pw_rows == r0[None, :], ring_ref[:], 0),
+                    axis=0,
+                )
+                w1 = jnp.sum(
+                    jnp.where(pw_rows == r1[None, :], ring_ref[:], 0),
+                    axis=0,
+                )
+            else:
+                pw_rows = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, L), 0)
+                w0 = jnp.sum(
+                    jnp.where(pw_rows == pw_idx[None, :], win_ref[:], 0),
+                    axis=0,
+                )
+                pw1 = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
+                w1 = jnp.sum(
+                    jnp.where(pw_rows == pw1[None, :], win_ref[:], 0),
+                    axis=0,
+                )
             port_byte = _extract_byte(w0, port_pos & 3)
             mbyte = jnp.where(matched, port_byte, mbyte)
             # 4-byte little-endian group starting at port_pos (unaligned:
@@ -759,12 +823,21 @@ def decode_segments_vmem(
                 ),
             )
             widx = outp_w >> 2
-            old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
-            new_w = (
-                (old_w.astype(_U32) & ~maskp) | placed
-            ).astype(_I32)
-            sel = (pw_rows == widx[None, :]) & wmask[None, :]
-            win_ref[:] = jnp.where(sel, new_w[None, :], win_ref[:])
+            if cfg.RING:
+                widx_r = widx & (RW_WORDS - 1)
+                old_w = onehot_read_word(ring_ref[:], widx_r, RW_WORDS)
+                new_w = (
+                    (old_w.astype(_U32) & ~maskp) | placed
+                ).astype(_I32)
+                sel = (pw_rows == widx_r[None, :]) & wmask[None, :]
+                ring_ref[:] = jnp.where(sel, new_w[None, :], ring_ref[:])
+            else:
+                old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
+                new_w = (
+                    (old_w.astype(_U32) & ~maskp) | placed
+                ).astype(_I32)
+                sel = (pw_rows == widx[None, :]) & wmask[None, :]
+                win_ref[:] = jnp.where(sel, new_w[None, :], win_ref[:])
             outp = jnp.where(wmask, outp + wcnt, outp)
 
             # prev-byte register: LAST emitted byte of the group;
@@ -790,6 +863,45 @@ def decode_segments_vmem(
                     dist, mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
                     pending, prevb, tile_base, it + 1)
 
+        def ring_flush(outp):
+            """Bulk-copy the ring's whole resident range
+            [max(outp - RING, 0), outp) into the full output window,
+            byte-precise at the high edge (the word containing ``outp``
+            may also hold prefill/slack bytes that must survive). Dirty
+            bytes per period are <= 4*MAINT <= RING, so re-flushing the
+            already-flushed tail is an idempotent rewrite of identical
+            bytes — which keeps the loop free of a flush-watermark carry
+            (an unused inner-loop carry would be inferred replicated and
+            its concrete update could not relayout into it). One full
+            window traversal per maintenance period — amortized to
+            ~W/MAINT elem-ops per step versus O(W) per step for
+            full-window ports."""
+            hi = outp[None, :]
+            # Low edge rounds UP to a word boundary: the partial low word
+            # mixes epoch-ahead ring bytes that must not overwrite already
+            # -flushed output. The skipped <=3 bytes were flushed by an
+            # earlier boundary (flushes land every <= 4*MAINT << RING
+            # bytes of progress).
+            lo_w = (jnp.maximum(outp - cfg.RING, 0)[None, :] + 3) >> 2
+            rows_r = jax.lax.broadcasted_iota(_I32, (RW_WORDS, L), 0)
+            for b in range(WIN_WORDS // RW_WORDS):
+                w = rows_r + b * RW_WORDS
+                t = jnp.clip(hi - w * 4, 0, 4)  # bytes to take from ring
+                take = (w >= lo_w).astype(_I32)
+                bm = jnp.where(
+                    t == 0, 0,
+                    jnp.where(
+                        t == 1, 0xFF,
+                        jnp.where(
+                            t == 2, 0xFFFF,
+                            jnp.where(t == 3, 0xFFFFFF, -1),
+                        ),
+                    ),
+                ) * take
+                blk = win_ref[b * RW_WORDS:(b + 1) * RW_WORDS, :]
+                merged = (blk & ~bm) | (ring_ref[:] & bm)
+                win_ref[b * RW_WORDS:(b + 1) * RW_WORDS, :] = merged
+
         def outer_body(carry):
             # maintenance at while-body top level (NOT under pl.when —
             # see step()'s note), then MAINT DFA micro-ops. Input
@@ -808,6 +920,8 @@ def decode_segments_vmem(
             # carry layout: ..., pending(26), prevb(27), tile_base(28), it
             carry = carry[:26] + (pending,) + carry[27:28] + (tile_base,) \
                 + carry[29:]
+            if cfg.RING:
+                ring_flush(carry[6])
             j0 = jnp.int32(0)
 
             def inner_cond(jc):
@@ -858,6 +972,9 @@ def decode_segments_vmem(
             jnp.zeros((), _I32),                # it (scalar step counter)
         )
         final = jax.lax.while_loop(cond, outer_body, init)
+        if cfg.RING:
+            # final partial-period flush (lanes finish mid-period)
+            ring_flush(final[6])
         err_ref[:] = final[1][None, :]
         outp_ref[:] = final[6][None, :]
         iters_ref[:] = (jnp.zeros((L,), _I32) + final[-1])[None, :]
@@ -878,7 +995,10 @@ def decode_segments_vmem(
         scratch_shapes=[
             pltpu.VMEM(((HOT_W + cfg.lit_w) // 2, L), jnp.int32),
             pltpu.VMEM((TILE // 4, L), jnp.int32),   # input lookahead
-        ],
+        ] + (
+            [pltpu.VMEM((cfg.RING // 4, L), jnp.int32)]  # history ring
+            if cfg.RING else []
+        ),
         interpret=interpret,
     )(
         inbuf, win_init, in_start, in_end, out_start, out_end,

@@ -452,14 +452,26 @@ def choose_vmem_config(plans: List[DecodePlan]):
             )
             for lc, lp in zip(lane.lc, lane.lp):
                 max_lclp = max(max_lclp, lc + lp)
+    # Window buckets up to 64 KiB: a stock `xz -6 --block-size=64KiB`
+    # archive (64 MiB declared dict, but <= 64 KiB of real history per
+    # block) decodes on-device in the largest bucket.
     bucket = 2048
-    while bucket < max(need_w, need_in) and bucket < 16384:
+    while bucket < max(need_w, need_in) and bucket < 65536:
         bucket *= 2
     nlit = 1 << min(max_lclp, 3)
+    # Ring-window mode: per-step window passes drop from O(W/4) to
+    # O(RING/4) rows. Selected for tpu_profile-shaped archives (lc=0 is
+    # the profile's fingerprint; its encoder caps distances at 2048) with
+    # gap-free segments; a foreign lc=0 archive with longer distances
+    # costs one ERR_RING retry on the full-window kernel.
+    ring = 0
+    if nlit == 1 and bucket >= 4096 and _plans_gap_free(plans):
+        ring = 2048
     # deeper unroll amortizes while-loop overhead and more lanes amortize
     # per-step op-issue overhead; both bounded by the 16 MB scoped-VMEM
     # stack (temporaries scale with UNROLL and L)
-    L = 256 if bucket <= 8192 else 128
+    # lane count scales down with the window so VMEM stays within budget
+    L = 256 if bucket <= 8192 else (128 if bucket <= 16384 else 32)
     # Per-device lane-count override: smaller slabs spread few-segment
     # archives across more chips (and keep CPU dryruns/test runs small).
     import os
@@ -467,7 +479,26 @@ def choose_vmem_config(plans: List[DecodePlan]):
     env_l = os.environ.get("LZMA_RS_TPU_VMEM_L")
     if env_l:
         L = max(1, int(env_l))
-    return vd.KernelConfig(L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2)
+    return vd.KernelConfig(
+        L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2, RING=ring
+    )
+
+
+def _lane_gap_free(lane: LanePlan) -> bool:
+    """True when the lane's chunks are output-contiguous from seg_base —
+    no mid-segment stored chunks (prefill) the ring would never learn."""
+    pos = lane.seg_base
+    for s, e in zip(lane.out_start, lane.out_end):
+        if s != pos:
+            return False
+        pos = e
+    return True
+
+
+def _plans_gap_free(plans: List[DecodePlan]) -> bool:
+    return all(
+        _lane_gap_free(lane) for p in plans for lane in p.lanes
+    )
 
 
 @functools.lru_cache(maxsize=4)
@@ -537,6 +568,11 @@ def _sharded_vmem_decoder(n_dev: int, config, max_iters: int,
     )
 
 
+class _RingMiss(Exception):
+    """A lane hit a match distance beyond the ring (ERR_RING): retry the
+    batch on the full-window kernel."""
+
+
 def execute_plan_vmem(
     data: bytes,
     plans: List[DecodePlan],
@@ -547,7 +583,28 @@ def execute_plan_vmem(
     (``ops/vmem_decoder.py``). Each lane's window lives entirely in VMEM,
     so every segment must fit the config's window bucket; raises
     :class:`VmemIneligible` otherwise (callers fall back to the XLA lane
-    kernel or the host engine)."""
+    kernel or the host engine). Ring-window configs retry once on the
+    full-window kernel if a match distance exceeds the ring."""
+    if config is None:
+        config = choose_vmem_config(plans)
+    try:
+        return _execute_plan_vmem(data, plans, config, interpret)
+    except _RingMiss:
+        _record_fallback(
+            f"ring miss: match distance beyond RING={config.RING}; "
+            "retrying on the full-window kernel"
+        )
+        return _execute_plan_vmem(
+            data, plans, dataclasses.replace(config, RING=0), interpret
+        )
+
+
+def _execute_plan_vmem(
+    data: bytes,
+    plans: List[DecodePlan],
+    config,
+    interpret: Optional[bool] = None,
+) -> bytes:
     import math
 
     import jax
@@ -555,8 +612,6 @@ def execute_plan_vmem(
 
     from lzma_rs_tpu.ops import vmem_decoder as vd
 
-    if config is None:
-        config = choose_vmem_config(plans)
     cfg = config
     max_lclp = int(math.log2(cfg.NLIT))
 
@@ -590,6 +645,11 @@ def execute_plan_vmem(
                     f"lc+lp={lc + lp} > literal-table budget {max_lclp} "
                     f"(NLIT={cfg.NLIT})"
                 )
+        if cfg.RING and not _lane_gap_free(lane):
+            raise VmemIneligible(
+                "ring mode needs gap-free segments (mid-segment stored "
+                "chunks present)"
+            )
 
     out = np.zeros(total_out, dtype=np.uint8)
     src = np.frombuffer(data, dtype=np.uint8)
@@ -708,6 +768,8 @@ def execute_plan_vmem(
                 .reshape(L, cfg.W)
             )
             for i, lane in enumerate(batch):
+                if err_np[i] == vd.ERR_RING:
+                    raise _RingMiss()
                 if err_np[i]:
                     raise _KernelError(base + i, int(err_np[i]))
                 if outp_np[i] != seg_lens[i]:

@@ -1,0 +1,120 @@
+"""Ring-window VMEM kernel correctness (interpret mode on CPU).
+
+The ring mode (``KernelConfig.RING``) keeps only the last RING bytes of
+history resident for window reads and bulk-flushes to the full output
+window each maintenance period (ops/vmem_decoder.py). Covered here:
+bit-exact decode of dist-capped archives, flush idempotence across long
+outputs (many maintenance periods), dist<4 overlap torture, ERR_RING
+fallback to the full-window kernel, and the gap-free eligibility gate.
+One small KernelConfig shared so the kernel compiles once per session.
+"""
+
+import pytest
+
+import lzma_rs_tpu
+from lzma_rs_tpu.ops.vmem_decoder import KernelConfig
+from lzma_rs_tpu.parallel import runtime
+from lzma_rs_tpu.utils import stats as stats_mod
+
+from conftest import read_ref
+
+# RING=512 >= 4*MAINT+4; W a multiple of RING.
+CFG = KernelConfig(L=4, W=4096, W_IN=4096, NLIT=1, K=8, RING=512)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    yield
+
+
+def _archive(data: bytes, dist_cap: int = 512, block: int = 4096) -> bytes:
+    return lzma_rs_tpu.xz_compress(
+        data, tpu_profile=True, block_size=block, dist_cap=dist_cap
+    )
+
+
+def _decode_ring(arch: bytes) -> bytes:
+    plans, *_ = runtime.plan_xz(arch)
+    return runtime.execute_plan_vmem(arch, plans, config=CFG, interpret=True)
+
+
+class TestRingKernel:
+    def test_text_multiblock(self):
+        data = read_ref("foo.txt")[:12000]
+        assert _decode_ring(_archive(data)) == data
+
+    def test_long_lane_many_flush_periods(self):
+        # one 4096-byte segment decodes across ~16+ maintenance periods;
+        # every byte must survive the idempotent re-flushes
+        data = (read_ref("foo.txt")[:977] * 9)[:4096]
+        assert _decode_ring(_archive(data)) == data
+
+    def test_overlap_torture_small_distances(self):
+        pieces = []
+        for period in (1, 2, 3, 4, 5):
+            for align in range(4):
+                pieces.append(b"q" * align)
+                pieces.append(bytes(range(65, 65 + period)) * (83 // period))
+        data = (b"".join(pieces) * 4)[:8000]
+        assert _decode_ring(_archive(data)) == data
+
+    def test_runs(self):
+        data = b"\x00" * 3000 + b"ab" * 700 + b"\xff" * 2000
+        assert _decode_ring(_archive(data)) == data
+
+    def test_dist_at_ring_edge(self):
+        # repeated 512-byte page forces matches at exactly dist == RING
+        page = bytes((i * 37 + 11) & 0xFF for i in range(512))
+        data = page * 8  # 4096 bytes
+        assert _decode_ring(_archive(data)) == data
+
+    def test_ring_miss_falls_back_full_window(self):
+        # uncapped lc=0 archive: distances beyond RING flag ERR_RING and
+        # the runtime retries on the full-window kernel
+        data = read_ref("foo.txt")[:4000]
+        arch = lzma_rs_tpu.xz_compress(
+            data, block_size=4096, level=6, props=0 + 9 * (0 + 5 * 2)
+        )
+        plans, *_ = runtime.plan_xz(arch)
+        with stats_mod.collect() as st:
+            out = runtime.execute_plan_vmem(
+                arch, plans, config=CFG, interpret=True
+            )
+        assert out == data
+        assert any("ring miss" in f for f in st.fallbacks) or not st.fallbacks
+
+    def test_gap_segment_ineligible(self):
+        # mid-segment stored chunk => prefill gap => ring mode refuses
+        import random
+
+        random.seed(7)
+        rnd = bytes(random.randrange(256) for _ in range(1024))
+        data = read_ref("foo.txt")[:1024] + rnd + read_ref("foo.txt")[:1024]
+        from lzma_rs_tpu.encode.lzma2_enc import lzma2_compress as enc
+
+        stream = enc(data, level=6, chunk_size=1024, dist_cap=512,
+                     props=0 + 9 * (0 + 5 * 2))
+        plan, _ = runtime.plan_lzma2_stream(stream, 0, 0)
+        if not plan.prefill:
+            pytest.skip("encoder compressed the noise chunk")
+        with pytest.raises(runtime.VmemIneligible, match="gap-free"):
+            runtime.execute_plan_vmem(stream, [plan], config=CFG,
+                                      interpret=True)
+
+    def test_auto_config_selects_ring(self):
+        data = read_ref("foo.txt")[:12000]
+        arch = lzma_rs_tpu.xz_compress(data, tpu_profile=True)
+        plans, *_ = runtime.plan_xz(arch)
+        cfg = runtime.choose_vmem_config(plans)
+        assert cfg.RING == 2048
+        assert cfg.NLIT == 1
+
+    def test_auto_config_no_ring_for_lc3(self):
+        data = read_ref("foo.txt")[:12000]
+        arch = lzma_rs_tpu.xz_compress(data, block_size=8192, level=6)
+        plans, *_ = runtime.plan_xz(arch)
+        cfg = runtime.choose_vmem_config(plans)
+        assert cfg.RING == 0

@@ -5,7 +5,8 @@ Builds a TPU-profile archive (block_size <= the kernel window so every
 dict-reset segment fits VMEM), decodes it with execute_plan_vmem on the
 default device, verifies bit-exactness, and reports warm throughput.
 
-Usage: python tools/bench_vmem_tpu.py [corpus_mb] [block_size]
+Usage: python tools/bench_vmem_tpu.py [corpus_mb] [block_size] [profile]
+  profile: "tpu" (default; tpu_profile archive -> ring kernel) or "plain"
 """
 
 import os
@@ -20,7 +21,8 @@ CORPUS = os.path.join(os.path.dirname(os.path.dirname(
 
 def main():
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
-    block = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    block = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    profile = sys.argv[3] if len(sys.argv) > 3 else "tpu"
 
     import jax
 
@@ -38,12 +40,19 @@ def main():
         data = (seed * (int(mb * 1e6) // len(seed) + 1))[: int(mb * 1e6)]
 
     t0 = time.perf_counter()
-    archive = lzma_rs_tpu.xz_compress(data, block_size=block, level=6)
+    if profile == "tpu":
+        archive = lzma_rs_tpu.xz_compress(
+            data, block_size=block, tpu_profile=True
+        )
+    else:
+        archive = lzma_rs_tpu.xz_compress(data, block_size=block, level=6)
     print(
         f"corpus {len(data)/1e6:.1f} MB -> {len(archive)/1e6:.2f} MB xz "
-        f"(block {block}) in {time.perf_counter()-t0:.1f}s",
+        f"(block {block}, {profile}) in {time.perf_counter()-t0:.1f}s",
         flush=True,
     )
+    print("config:", runtime.choose_vmem_config(
+        runtime.plan_xz(archive)[0]), flush=True)
 
     plans, _, _, _, _ = runtime.plan_xz(archive)
     nlanes = sum(len(p.lanes) for p in plans)

@@ -6,7 +6,7 @@ running it. Mosaic lowering errors surface in ~1s (the axon compile
 helper fails fast), making this the bisect driver for "Not implemented"
 lowering failures.
 
-Usage: python tools/probe_vmem_compile.py [L] [W]
+Usage: python tools/probe_vmem_compile.py [L] [W] [RING] [NLIT]
 """
 
 import os
@@ -19,13 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    ring = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    nlit = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
     import jax
     import jax.numpy as jnp
 
     from lzma_rs_tpu.ops import vmem_decoder as vd
 
-    cfg = vd.KernelConfig(L=L, W=W, W_IN=W)
+    cfg = vd.KernelConfig(L=L, W=W, W_IN=W, RING=ring, NLIT=nlit)
     K = cfg.K
 
     def fn(inbuf, win, is_, ie, os_, oe, rs, lcs, lps, pbs, nc):

@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
-    block = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    block = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    profile = sys.argv[3] if len(sys.argv) > 3 else "tpu"
+    import json
+
+    cfg_kw = json.loads(sys.argv[4]) if len(sys.argv) > 4 else None
 
     import lzma_rs_tpu
     from lzma_rs_tpu.parallel import runtime
@@ -26,12 +30,25 @@ def main():
 
     seed = open("/root/reference/tests/files/foo.txt", "rb").read()
     data = (seed * (int(mb * 1e6) // len(seed) + 1))[: int(mb * 1e6)]
-    archive = lzma_rs_tpu.xz_compress(data, block_size=block, level=6)
+    if profile == "tpu":
+        archive = lzma_rs_tpu.xz_compress(data, block_size=block,
+                                          tpu_profile=True)
+    else:
+        archive = lzma_rs_tpu.xz_compress(data, block_size=block, level=6)
     plans, _, _, _, _ = runtime.plan_xz(archive)
     nlanes = sum(len(p.lanes) for p in plans)
-    print(f"{len(data)/1e6:.1f} MB, block {block}: {nlanes} lanes")
+    config = None
+    if cfg_kw is not None:
+        from lzma_rs_tpu.ops.vmem_decoder import KernelConfig
 
-    out = runtime.execute_plan_vmem(archive, plans)  # warm
+        config = KernelConfig(**cfg_kw)
+    print(f"{len(data)/1e6:.1f} MB, block {block} ({profile}): "
+          f"{nlanes} lanes, config {config or runtime.choose_vmem_config(plans)}")
+
+    def run():
+        return runtime.execute_plan_vmem(archive, plans, config=config)
+
+    out = run()  # warm
     assert out == data
 
     best = float("inf")
@@ -39,7 +56,7 @@ def main():
     for _ in range(3):
         with stats_mod.collect() as st:
             t0 = time.perf_counter()
-            out = runtime.execute_plan_vmem(archive, plans)
+            out = run()
             dt = time.perf_counter() - t0
         if dt < best:
             best, iters = dt, st.kernel_iters
