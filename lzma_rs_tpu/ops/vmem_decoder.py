@@ -49,11 +49,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lzma_rs_tpu.models.state import (
-    LEN_HIGH,
-    LEN_LOW,
-    LEN_MID,
-    PROB_INIT,
+from lzma_rs_tpu.models.state import PROB_INIT
+
+# Perf-ablation switches (tools/probe_step_cost.py): comma-separated list
+# in LZMA_RS_TPU_ABLATE disables kernel components to attribute per-step
+# cost. "spin" makes the while-loop ignore lane completion (pure cost
+# measurement; output is garbage). Never set in production.
+import os as _os
+
+_ABLATE = frozenset(
+    filter(None, _os.environ.get("LZMA_RS_TPU_ABLATE", "").split(","))
 )
 
 # Node ids (same DFA as ops/lane_decoder.py).
@@ -92,20 +97,43 @@ ERR_RING = 8
 
 # ---------------------------------------------------------------------------
 # Hot probability table layout (per lane): everything except literals.
+# Parameterized by NPS (pos-state count): the reference sizes is_match /
+# is_rep_0long / len low+mid trees for 16 pos_states, but archives with
+# pb <= 2 only ever touch 4 — packing them (NPS=4) shrinks the hot table
+# from 1847 to 1175 entries, cutting every probability one-hot pass by
+# ~30%. NPS=16 reproduces the reference layout exactly.
 # ---------------------------------------------------------------------------
-HOT_IS_MATCH = 0          # 192 (12 states x 16 pos_states)
-HOT_IS_REP = 192          # 12
-HOT_IS_REP_G0 = 204       # 12
-HOT_IS_REP_G1 = 216       # 12
-HOT_IS_REP_G2 = 228       # 12
-HOT_IS_REP_0LONG = 240    # 192
-HOT_POS_SLOT = 432        # 4 x 64
-HOT_SPEC_POS = 688        # 115
-HOT_ALIGN = 803           # 16
-HOT_LEN = 819             # 514 (choice, choice2, low 16x8, mid 16x8, high)
-HOT_REP_LEN = 1333        # 514
-HOT_TOTAL = 1847
-HOT_W = 2048              # padded width
+
+
+def hot_layout(nps: int) -> dict:
+    o = {}
+    pos = 0
+
+    def take(name, n):
+        nonlocal pos
+        o[name] = pos
+        pos += n
+
+    take("is_match", 12 * nps)
+    take("is_rep", 12)
+    take("is_rep_g0", 12)
+    take("is_rep_g1", 12)
+    take("is_rep_g2", 12)
+    take("is_rep_0long", 12 * nps)
+    take("pos_slot", 4 * 64)
+    take("spec_pos", 115)
+    take("align", 16)
+    len_size = 2 + nps * 8 * 2 + 256  # choice, choice2, low, mid, high
+    take("len", len_size)
+    take("rep_len", len_size)
+    o["total"] = pos
+    o["padded"] = (pos + 15) & ~15
+    # len-coder internal offsets
+    o["len_low"] = 2
+    o["len_mid"] = 2 + nps * 8
+    o["len_high"] = 2 + nps * 8 * 2
+    return o
+
 
 LIT_ROW = 0x300           # 768 entries per literal context
 
@@ -163,8 +191,11 @@ class KernelConfig:
     MAINT: int = 64     # lookahead refill period (consumption <= 1 B/step)
     UNROLL: int = 2     # steps per inner while iteration (divides MAINT)
     RING: int = 0       # resident-history bytes (0 = full-window mode)
+    NPS: int = 16       # pos-state table width (4 for pb <= 2 archives)
 
     def __post_init__(self):
+        assert self.NPS in (4, 16)
+        assert self.K <= 63  # chunk_i rides 6 bits of the meta carry
         if self.RING:
             assert self.RING % 4 == 0 and self.RING & (self.RING - 1) == 0
             assert self.RING <= self.W
@@ -178,6 +209,18 @@ class KernelConfig:
         return self.NLIT * LIT_ROW
 
 
+def pack_chunk_meta(reset_state, lcs, lps, pbs, valid):
+    """Pack the five small per-chunk fields into one [K, L] i32 table so
+    chunk setup (Stage E) pays one one-hot pass instead of five."""
+    return (
+        (reset_state & 3)
+        | (lcs << 2)
+        | (lps << 6)
+        | (pbs << 9)
+        | (valid << 12)
+    )
+
+
 def decode_segments_vmem(
     inbuf,        # [W_IN//4, L] i32 — staged compressed bytes, LE-packed
     win_init,     # [W//4, L] i32 — prefilled with uncompressed chunks
@@ -185,9 +228,7 @@ def decode_segments_vmem(
     in_end,       # [K, L] i32
     out_start,    # [K, L] i32 — lane-local output offset at chunk start
     out_end,      # [K, L] i32
-    reset_state,  # [K, L] i32
-    lcs, lps, pbs,  # [K, L] i32
-    valid,        # [K, L] i32 — 1 for live chunk slots, 0 for padding
+    chunk_meta,   # [K, L] i32 — pack_chunk_meta(reset, lc, lp, pb, valid)
     *,
     config: KernelConfig,
     max_iters: int,
@@ -197,6 +238,25 @@ def decode_segments_vmem(
     cfg = config
     L, W, W_IN, K, TILE = cfg.L, cfg.W, cfg.W_IN, cfg.K, cfg.TILE
     LIT_W = cfg.lit_w
+    NPS = cfg.NPS
+
+    HL = hot_layout(NPS)
+    H_IS_MATCH = HL["is_match"]
+    H_IS_REP = HL["is_rep"]
+    H_G0 = HL["is_rep_g0"]
+    H_G1 = HL["is_rep_g1"]
+    H_G2 = HL["is_rep_g2"]
+    H_REP0LONG = HL["is_rep_0long"]
+    H_POS_SLOT = HL["pos_slot"]
+    H_SPEC_POS = HL["spec_pos"]
+    H_ALIGN = HL["align"]
+    H_LEN = HL["len"]
+    H_REP_LEN = HL["rep_len"]
+    H_TOTAL = HL["total"]
+    HOT_W = HL["padded"]
+    L_LOW = HL["len_low"]
+    L_MID = HL["len_mid"]
+    L_HIGH = HL["len_high"]
 
     WIN_WORDS = W // 4
     IN_WORDS = W_IN // 4
@@ -208,8 +268,7 @@ def decode_segments_vmem(
     RW_WORDS = cfg.RING // 4 if cfg.RING else 0
 
     def kernel(
-        in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, rs_ref,
-        lc_ref, lp_ref, pb_ref, va_ref,
+        in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, meta_ref,
         win_ref, err_ref, outp_ref, iters_ref,
         prob_ref, tile_ref, *extra_scratch,
     ):
@@ -263,6 +322,8 @@ def decode_segments_vmem(
             one-hot row select per input row. Coverage after refill:
             >= TILE - 128 bytes past inp, enough for MAINT steps of
             1-byte reads plus rc-init."""
+            if "refill" in _ABLATE:
+                return
             row0 = (inp // 128)[None, :]
             n_rows = TILE // 128
             acc = [jnp.zeros((ROW_WORDS, L), _I32) for _ in range(n_rows)]
@@ -279,10 +340,20 @@ def decode_segments_vmem(
             # vectors inside a when-region hit an unimplemented Mosaic
             # replication relayout, while the same code at while-body
             # top level lowers fine)
-            (node0, err, rng, cod, inp, inend, outp, outend, state,
+            (node0, meta0, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
-             mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb, pending,
-             prevb, tile_base, it) = carry
+             mbyte, prevb, tile_base, it) = carry
+            # Cold fields share one packed carry (8 fewer loop-carried
+            # vectors = 16 fewer vregs at L=256; unpack/repack is ~30
+            # cheap VPU ops, spills to the VMEM stack are not).
+            err = meta0 & 15
+            pending = (meta0 >> 4) & 3
+            len_rep = (meta0 >> 6) & 1
+            lit_ctx = (meta0 >> 7) & 7
+            lc = (meta0 >> 10) & 15
+            lp = (meta0 >> 14) & 7
+            pb = (meta0 >> 17) & 7
+            chunk_i = (meta0 >> 20) & 63
 
             is_prob = (node0 <= N_ALIGN) & (node0 != N_DIRECT)
             is_lit_node = (node0 == N_LIT) | (node0 == N_LITM)
@@ -290,27 +361,27 @@ def decode_segments_vmem(
             active_bit = is_prob | is_direct
 
             pos_state = outp & ((1 << pb) - 1)
-            st4 = (state << 4) + pos_state
+            st4 = state * NPS + pos_state
 
             # -------- Stage A: probability index + one bit ----------------
             match_bit0 = (mbyte >> 7) & 1
-            len_base = jnp.where(len_rep == 1, HOT_REP_LEN, HOT_LEN)
+            len_base = jnp.where(len_rep == 1, H_REP_LEN, H_LEN)
             # `tmp` holds the tree base for LEN/POS/SPEC/ALIGN walks.
             # (where-chain, not jnp.select: select lowers via argmax,
             # which Mosaic only supports for f32)
             hot_idx = tmp + acc  # N_LEN_TREE, N_POSSLOT, N_SPECPOS, N_ALIGN
             for cond, val in (
-                (node0 == N_ISMATCH, HOT_IS_MATCH + st4),
-                (node0 == N_ISREP, HOT_IS_REP + state),
-                (node0 == N_ISREPG0, HOT_IS_REP_G0 + state),
-                (node0 == N_ISREP0LONG, HOT_IS_REP_0LONG + st4),
-                (node0 == N_ISREPG1, HOT_IS_REP_G1 + state),
-                (node0 == N_ISREPG2, HOT_IS_REP_G2 + state),
+                (node0 == N_ISMATCH, H_IS_MATCH + st4),
+                (node0 == N_ISREP, H_IS_REP + state),
+                (node0 == N_ISREPG0, H_G0 + state),
+                (node0 == N_ISREP0LONG, H_REP0LONG + st4),
+                (node0 == N_ISREPG1, H_G1 + state),
+                (node0 == N_ISREPG2, H_G2 + state),
                 (node0 == N_LEN_CHOICE, len_base),
                 (node0 == N_LEN_CHOICE2, len_base + 1),
             ):
                 hot_idx = jnp.where(cond, val, hot_idx)
-            hot_idx = jnp.clip(hot_idx, 0, HOT_TOTAL - 1)
+            hot_idx = jnp.clip(hot_idx, 0, H_TOTAL - 1)
             # Literal probs live in the same packed table behind the hot
             # entries, addressed with a fused context*row index — a
             # per-symbol working-row swap costs ~5 full row passes per
@@ -326,7 +397,11 @@ def decode_segments_vmem(
             pidx = jnp.where(is_lit_node, HOT_W + lit_idx, hot_idx)
             pword_idx = pidx >> 1
             phalf = pidx & 1
-            pword = onehot_read_word(prob_ref[:], pword_idx, PROB_WORDS)
+            if "probread" in _ABLATE:
+                pword = pword_idx * 0 + PROB_PACKED
+            else:
+                pword = onehot_read_word(prob_ref[:], pword_idx,
+                                         PROB_WORDS)
             p = jnp.where(
                 phalf == 1, (pword >> 16) & 0xFFFF, pword & 0xFFFF
             ).astype(_U32)
@@ -345,8 +420,9 @@ def decode_segments_vmem(
                 (pword & jnp.int32(-0x10000)) | new_p,
             )
             prob_rows = jax.lax.broadcasted_iota(_I32, (PROB_WORDS, L), 0)
-            pm = (prob_rows == pword_idx[None, :]) & is_prob[None, :]
-            prob_ref[:] = jnp.where(pm, new_pword[None, :], prob_ref[:])
+            if "probwrite" not in _ABLATE:
+                pm = (prob_rows == pword_idx[None, :]) & is_prob[None, :]
+                prob_ref[:] = jnp.where(pm, new_pword[None, :], prob_ref[:])
 
             rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
             cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
@@ -488,7 +564,7 @@ def decode_segments_vmem(
             # --- N_LEN_CHOICE ----------------------------------------------
             m = ok & (node0 == N_LEN_CHOICE)
             low = m & (bit == 0)
-            tmp = jnp.where(low, len_base + LEN_LOW + pos_state * 8, tmp)
+            tmp = jnp.where(low, len_base + L_LOW + pos_state * 8, tmp)
             cnt = jnp.where(low, 3, cnt)
             acc = jnp.where(low, 1, acc)
             rev = jnp.where(low, 0, rev)  # rev doubles as len_add
@@ -499,8 +575,8 @@ def decode_segments_vmem(
             m = ok & (node0 == N_LEN_CHOICE2)
             mid = m & (bit == 0)
             high = m & (bit == 1)
-            tmp = jnp.where(mid, len_base + LEN_MID + pos_state * 8, tmp)
-            tmp = jnp.where(high, len_base + LEN_HIGH, tmp)
+            tmp = jnp.where(mid, len_base + L_MID + pos_state * 8, tmp)
+            tmp = jnp.where(high, len_base + L_HIGH, tmp)
             cnt = jnp.where(mid, 3, jnp.where(high, 8, cnt))
             acc = jnp.where(m, 1, acc)
             rev = jnp.where(mid, 8, jnp.where(high, 16, rev))
@@ -520,7 +596,7 @@ def decode_segments_vmem(
             matchdone = done_len & (len_rep == 0)
             state = jnp.where(matchdone, _after_match(state), state)
             len_state = jnp.minimum(length, 3)
-            tmp = jnp.where(matchdone, HOT_POS_SLOT + len_state * 64, tmp)
+            tmp = jnp.where(matchdone, H_POS_SLOT + len_state * 64, tmp)
             cnt = jnp.where(matchdone, 6, cnt)
             acc = jnp.where(matchdone, 1, acc)
             node = jnp.where(matchdone, N_POSSLOT, node)
@@ -538,7 +614,7 @@ def decode_segments_vmem(
             dist = jnp.where(big, base_dist, dist)
             midrange = big & (pos_slot < 14)
             tmp = jnp.where(
-                midrange, HOT_SPEC_POS + (base_dist - pos_slot), tmp
+                midrange, H_SPEC_POS + (base_dist - pos_slot), tmp
             )
             cnt = jnp.where(midrange, ndirect, cnt)
             acc = jnp.where(midrange, 1, acc)
@@ -564,7 +640,7 @@ def decode_segments_vmem(
             cnt = jnp.where(m, cnt - 1, cnt)
             done_d = m & (cnt == 0)
             dist = jnp.where(done_d, dist + (acc << 4), dist)
-            tmp = jnp.where(done_d, HOT_ALIGN, tmp)
+            tmp = jnp.where(done_d, H_ALIGN, tmp)
             cnt = jnp.where(done_d, 4, cnt)
             acc = jnp.where(done_d, 1, acc)
             rev = jnp.where(done_d, 0, rev)
@@ -648,24 +724,27 @@ def decode_segments_vmem(
             def sched(ref):
                 return onehot_read_v(ref[:], ci, K)
 
-            # Slot validity comes from a [K, L] table read like every
-            # other per-chunk field. A direct row load (``ref[0, :]``) of
-            # a lane count does NOT lower here: carried 1-D vectors live
-            # sublane-REPLICATED, a row load is sublane-concrete, and
-            # mixing the two needs Mosaic's unimplemented "Sublane
-            # broadcast" relayout. Sublane reductions (the one-hot reads)
-            # produce replicated values, so sched() is safe.
-            have = m & (chunk_i < K) & (sched(va_ref) == 1)
+            # Per-chunk fields come from [K, L] table reads. A direct row
+            # load (``ref[0, :]``) of a lane count does NOT lower here:
+            # carried 1-D vectors live sublane-REPLICATED, a row load is
+            # sublane-concrete, and mixing the two needs Mosaic's
+            # unimplemented "Sublane broadcast" relayout. Sublane
+            # reductions (the one-hot reads) produce replicated values,
+            # so sched() is safe. The five small fields (reset/lc/lp/pb/
+            # valid) ride one packed table (pack_chunk_meta), so chunk
+            # setup costs 5 passes, not 9.
+            cmeta = sched(meta_ref)
+            have = m & (chunk_i < K) & (((cmeta >> 12) & 1) == 1)
             node = jnp.where(m & ~have, N_DONE, node)
 
             cin = sched(is_ref)
             cend = sched(ie_ref)
             cout_start = sched(os_ref)
             cout_end = sched(oe_ref)
-            creset = sched(rs_ref)
-            clc = sched(lc_ref)
-            clp = sched(lp_ref)
-            cpb = sched(pb_ref)
+            creset = cmeta & 3
+            clc = (cmeta >> 2) & 15
+            clp = (cmeta >> 6) & 7
+            cpb = (cmeta >> 9) & 7
 
             too_short = have & (cend - cin < 5)
             err = jnp.where(too_short & (err == ERR_NONE), ERR_SHORT, err)
@@ -734,7 +813,13 @@ def decode_segments_vmem(
             )
             port_pos = jnp.clip(port_pos, 0, W - 1)
             pw_idx = port_pos >> 2
-            if cfg.RING:
+            if "port" in _ABLATE:
+                pw_rows = jax.lax.broadcasted_iota(
+                    _I32, (RW_WORDS if cfg.RING else WIN_WORDS, L), 0
+                )
+                w0 = pw_idx * 0
+                w1 = w0
+            elif cfg.RING:
                 # ring-resident history: positions in [outp - RING, outp)
                 # live at word (pos >> 2) mod RW_WORDS. All port users are
                 # ring-bounded (dist/rep0 checked above; gap-resume chunks
@@ -823,7 +908,9 @@ def decode_segments_vmem(
                 ),
             )
             widx = outp_w >> 2
-            if cfg.RING:
+            if "winwrite" in _ABLATE:
+                pass
+            elif cfg.RING:
                 widx_r = widx & (RW_WORDS - 1)
                 old_w = onehot_read_word(ring_ref[:], widx_r, RW_WORDS)
                 new_w = (
@@ -858,10 +945,12 @@ def decode_segments_vmem(
             prevb = jnp.where(gap_go, port_byte, prevb)
             prevb = jnp.where(first, 0, prevb)
 
-            return (node, err, rng, cod, inp, inend, outp, outend, state,
+            meta = (err | (pending << 4) | (len_rep << 6)
+                    | (lit_ctx << 7) | (lc << 10) | (lp << 14)
+                    | (pb << 17) | (chunk_i << 20))
+            return (node, meta, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
-                    dist, mbyte, len_rep, lit_ctx, chunk_i, lc, lp, pb,
-                    pending, prevb, tile_base, it + 1)
+                    dist, mbyte, prevb, tile_base, it + 1)
 
         def ring_flush(outp):
             """Bulk-copy the ring's whole resident range
@@ -912,15 +1001,18 @@ def decode_segments_vmem(
             inp = carry[4]
             refill(inp)
             tile_base = (inp // 128) * 128
-            # apply parked probability-table resets (pending 1 -> 2)
-            pending = carry[26]
+            # apply parked probability-table resets (pending 1 -> 2);
+            # pending lives in the packed meta carry at bits 4-5
+            meta = carry[1]
+            pending = (meta >> 4) & 3
             p32 = (pending == 1).astype(_I32)[None, :]
             prob_ref[:] = prob_ref[:] + (PROB_PACKED - prob_ref[:]) * p32
-            pending = jnp.where(pending == 1, 2, pending)
-            # carry layout: ..., pending(26), prevb(27), tile_base(28), it
-            carry = carry[:26] + (pending,) + carry[27:28] + (tile_base,) \
-                + carry[29:]
-            if cfg.RING:
+            meta = jnp.where(pending == 1, (meta & ~0x30) | (2 << 4), meta)
+            # carry layout: node0(0), meta(1), ..., prevb(20),
+            # tile_base(21), it(22)
+            carry = carry[:1] + (meta,) + carry[2:21] + (tile_base,) \
+                + carry[22:]
+            if cfg.RING and "flush" not in _ABLATE:
                 ring_flush(carry[6])
             j0 = jnp.int32(0)
 
@@ -940,13 +1032,15 @@ def decode_segments_vmem(
         def cond(carry):
             node = carry[0]
             it = carry[-1]
+            if "spin" in _ABLATE:
+                return it < max_iters
             active = jnp.max(jnp.where(node < N_DONE, 1, 0))
             return (active == 1) & (it < max_iters)
 
         z = jnp.zeros((L,), _I32)
         init = (
             jnp.full((L,), N_CHUNK, _I32),   # node
-            z,                                  # err
+            z,                                  # meta (packed cold fields)
             jnp.full((L,), -1, _I32),         # rng
             z,                                  # cod
             z,                                  # inp
@@ -962,11 +1056,6 @@ def decode_segments_vmem(
             z,                                  # length
             z,                                  # dist
             z,                                  # mbyte
-            z,                                  # len_rep
-            z,                                  # lit_ctx
-            z,                                  # chunk_i
-            z, z, z,                            # lc, lp, pb
-            z,                                  # pending (table reset)
             z,                                  # prevb (last output byte)
             z,                                  # tile_base
             jnp.zeros((), _I32),                # it (scalar step counter)
@@ -975,7 +1064,7 @@ def decode_segments_vmem(
         if cfg.RING:
             # final partial-period flush (lanes finish mid-period)
             ring_flush(final[6])
-        err_ref[:] = final[1][None, :]
+        err_ref[:] = (final[1] & 15)[None, :]  # err = meta bits 0-3
         outp_ref[:] = final[6][None, :]
         iters_ref[:] = (jnp.zeros((L,), _I32) + final[-1])[None, :]
 
@@ -988,12 +1077,19 @@ def decode_segments_vmem(
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        # v5e has 128 MiB of VMEM; the default 16 MiB scoped limit is what
+        # capped lane count at L=256 (the while-loop's register spills live
+        # on the VMEM stack, which scales with L). Raising the limit lets
+        # larger lane batches amortize the fixed per-step cost.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
         ),
         scratch_shapes=[
-            pltpu.VMEM(((HOT_W + cfg.lit_w) // 2, L), jnp.int32),
+            pltpu.VMEM((PROB_WORDS, L), jnp.int32),
             pltpu.VMEM((TILE // 4, L), jnp.int32),   # input lookahead
         ] + (
             [pltpu.VMEM((cfg.RING // 4, L), jnp.int32)]  # history ring
@@ -1001,6 +1097,5 @@ def decode_segments_vmem(
         ),
         interpret=interpret,
     )(
-        inbuf, win_init, in_start, in_end, out_start, out_end,
-        reset_state, lcs, lps, pbs, valid,
+        inbuf, win_init, in_start, in_end, out_start, out_end, chunk_meta,
     )

@@ -443,6 +443,7 @@ def choose_vmem_config(plans: List[DecodePlan]):
     need_w = 1
     need_in = 1
     max_lclp = 0
+    max_pb = 0
     for p in plans:
         for lane in p.lanes:
             need_w = max(need_w, lane.out_end[-1] - lane.seg_base)
@@ -452,6 +453,7 @@ def choose_vmem_config(plans: List[DecodePlan]):
             )
             for lc, lp in zip(lane.lc, lane.lp):
                 max_lclp = max(max_lclp, lc + lp)
+            max_pb = max(max_pb, max(lane.pb, default=0))
     # Window buckets up to 64 KiB: a stock `xz -6 --block-size=64KiB`
     # archive (64 MiB declared dict, but <= 64 KiB of real history per
     # block) decodes on-device in the largest bucket.
@@ -479,8 +481,12 @@ def choose_vmem_config(plans: List[DecodePlan]):
     env_l = os.environ.get("LZMA_RS_TPU_VMEM_L")
     if env_l:
         L = max(1, int(env_l))
+    # pb <= 2 (every standard preset) packs the pos-state tables 4-wide,
+    # shrinking the hot probability table ~30%
+    nps = 4 if max_pb <= 2 else 16
     return vd.KernelConfig(
-        L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2, RING=ring
+        L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2, RING=ring,
+        NPS=nps,
     )
 
 
@@ -561,7 +567,7 @@ def _sharded_vmem_decoder(n_dev: int, config, max_iters: int,
         shard_map(
             inner,
             mesh=mesh,
-            in_specs=(spec,) * 11,
+            in_specs=(spec,) * 7,
             out_specs=(spec,) * 4,
             check_vma=False,
         )
@@ -645,11 +651,24 @@ def _execute_plan_vmem(
                     f"lc+lp={lc + lp} > literal-table budget {max_lclp} "
                     f"(NLIT={cfg.NLIT})"
                 )
+        for pb in lane.pb:
+            if (1 << pb) > cfg.NPS:
+                raise VmemIneligible(
+                    f"pb={pb} exceeds the pos-state table width NPS="
+                    f"{cfg.NPS}"
+                )
         if cfg.RING and not _lane_gap_free(lane):
             raise VmemIneligible(
                 "ring mode needs gap-free segments (mid-segment stored "
                 "chunks present)"
             )
+
+    # Balance device/batch load: biggest segments first, so each batch
+    # (whose wall time is its slowest lane) holds similar-size work.
+    lanes.sort(
+        key=lambda l: sum(e - s for s, e in zip(l.in_start, l.in_end)),
+        reverse=True,
+    )
 
     out = np.zeros(total_out, dtype=np.uint8)
     src = np.frombuffer(data, dtype=np.uint8)
@@ -739,6 +758,8 @@ def _execute_plan_vmem(
                     lps[i, j] = lane.lp[j]
                     pbs[i, j] = lane.pb[j]
                 valid[i, : len(lane.in_start)] = 1
+            chunk_meta = vd.pack_chunk_meta(reset_state, lcs, lps, pbs,
+                                            valid)
 
             # pack bytes as little-endian i32 words and transpose to the
             # kernel's [W, L] layout (lanes on the minor axis: 4x fewer
@@ -749,9 +770,7 @@ def _execute_plan_vmem(
                 jnp.asarray(inbuf_w), jnp.asarray(win_w),
                 jnp.asarray(in_start.T), jnp.asarray(in_end.T),
                 jnp.asarray(out_start.T), jnp.asarray(out_end.T),
-                jnp.asarray(reset_state.T), jnp.asarray(lcs.T),
-                jnp.asarray(lps.T), jnp.asarray(pbs.T),
-                jnp.asarray(valid.T),
+                jnp.asarray(chunk_meta.T),
             )
             pending_batches.append(
                 (base, batch, seg_lens, win, err, outp, iters)

@@ -30,16 +30,16 @@ def main():
     cfg = vd.KernelConfig(L=L, W=W, W_IN=W, RING=ring, NLIT=nlit)
     K = cfg.K
 
-    def fn(inbuf, win, is_, ie, os_, oe, rs, lcs, lps, pbs, nc):
+    def fn(inbuf, win, is_, ie, os_, oe, meta):
         return vd.decode_segments_vmem(
-            inbuf, win, is_, ie, os_, oe, rs, lcs, lps, pbs, nc,
+            inbuf, win, is_, ie, os_, oe, meta,
             config=cfg, max_iters=1000,
         )
 
     shapes = [
         jax.ShapeDtypeStruct((cfg.W_IN // 4, L), jnp.int32),
         jax.ShapeDtypeStruct((W // 4, L), jnp.int32),
-    ] + [jax.ShapeDtypeStruct((K, L), jnp.int32)] * 9
+    ] + [jax.ShapeDtypeStruct((K, L), jnp.int32)] * 5
     t0 = time.perf_counter()
     lowered = jax.jit(fn).lower(*shapes)
     print(f"lowered in {time.perf_counter()-t0:.1f}s", flush=True)
