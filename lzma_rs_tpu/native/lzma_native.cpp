@@ -881,15 +881,17 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
 // Output is a complete LZMA2 chunk stream (0x00-terminated).
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 bool price_mode, int props, size_t dist_cap,
+                                 int parse_mode, int props, size_t dist_cap,
                                  std::string& out);
 
 int lrt_lzma2_compress(const char* data, size_t n, int level,
                        size_t chunk_size, int props, size_t dist_cap,
                        void** out_buf, size_t* out_len) {
-  int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 128;
-  // levels >= 4 pay for bit-price candidate selection (better ratio)
-  bool price_mode = level >= 4;
+  int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 96;
+  // parse modes: 1-3 greedy with lazy lookahead (fastest), 4-6 add
+  // price-density candidate selection from the live adaptive model,
+  // 7-9 run the optimal-parse-lite DP (best ratio, ~10x slower encode)
+  int parse_mode = level >= 7 ? 2 : level >= 4 ? 1 : 0;
   if (chunk_size < 256) chunk_size = 256;
   if (chunk_size > 65536) chunk_size = 65536;
   // props byte (lzma_header.py / lzma.rs:43-94): default lc=3 lp=0 pb=2.
@@ -904,7 +906,7 @@ int lrt_lzma2_compress(const char* data, size_t n, int level,
   out.reserve(n / 3 + 64);
   if (n > 0)
     lzma2_compress_block(reinterpret_cast<const uint8_t*>(data), n, depth,
-                         /*first_block=*/1, chunk_size, price_mode, props,
+                         /*first_block=*/1, chunk_size, parse_mode, props,
                          dist_cap, out);
   out.push_back('\0');
   *out_buf = dup_out(out);
@@ -1268,16 +1270,223 @@ constexpr uint32_t kMaxMatchLen = 273;
 // reject the stream.
 constexpr size_t kEncDictSize = size_t(1) << 23;
 
+// ---------------------------------------------------------------------------
+// Optimal-parse-lite: forward shortest-path DP over a sliding lookahead
+// window, pricing literal / short-rep / rep / match transitions from the
+// CURRENT adaptive model (prices refresh every window). Approximations vs
+// a full optimum (liblzma lzma_optimum): the state machine and rep LRU
+// are frozen at their window-start values for pricing, and only lengths
+// {2..8, Lmax} are relaxed per candidate. Steps record the match
+// DISTANCE, not the LRU index — emission re-resolves the distance
+// against the true LRU (or degrades rep->match / shortrep->literal), so
+// the produced stream is always byte-correct even where the pricing
+// approximation drifted.
+// ---------------------------------------------------------------------------
+
+struct OptNode {
+  uint64_t cost;
+  int32_t from;
+  uint8_t kind;  // 0 literal, 1 shortrep, 2 rep(dist), 3 match(dist)
+  uint16_t len;
+  uint32_t dist;  // 1-based distance for kinds 1-3
+};
+
+constexpr int kOptWin = 128;
+
+// Emit one parsed step at `pos`, resolving distance-coded reps against
+// the encoder's true LRU. Always produces the same decoded bytes.
+static void emit_step(const uint8_t* block, size_t pos, LzmaEncoder& enc,
+                      int kind, uint32_t len, uint32_t dist) {
+  size_t pos_state = pos & ((size_t(1) << enc.pb) - 1);
+  if (kind == 1 && size_t(enc.rep[0]) + 1 != dist)
+    kind = 0;  // shortrep drifted: the byte is block[pos] either way
+  if (kind == 2) {
+    int r = -1;
+    for (int i = 0; i < 4; i++)
+      if (size_t(enc.rep[i]) + 1 == dist) {
+        r = i;
+        break;
+      }
+    if (r < 0) {
+      kind = 3;  // LRU drifted: same bytes as a normal match
+    } else {
+      enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
+      enc.bit(enc.layout.is_rep + enc.state, 1);
+      if (r == 0) {
+        enc.bit(enc.layout.is_rep_g0 + enc.state, 0);
+        enc.bit(
+            enc.layout.is_rep_0long + (size_t(enc.state) << 4) + pos_state,
+            1);
+      } else {
+        enc.bit(enc.layout.is_rep_g0 + enc.state, 1);
+        if (r == 1) {
+          enc.bit(enc.layout.is_rep_g1 + enc.state, 0);
+        } else {
+          enc.bit(enc.layout.is_rep_g1 + enc.state, 1);
+          enc.bit(enc.layout.is_rep_g2 + enc.state, r == 3);
+        }
+        uint32_t d = enc.rep[r];
+        for (int i = r - 1; i >= 0; i--) enc.rep[i + 1] = enc.rep[i];
+        enc.rep[0] = d;
+      }
+      enc.encode_len(enc.layout.rep_len_coder, pos_state, len - 2);
+      enc.state = enc.state < 7 ? 8 : 11;
+      return;
+    }
+  }
+  if (kind == 3) {
+    enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
+    enc.bit(enc.layout.is_rep + enc.state, 0);
+    enc.rep[3] = enc.rep[2];
+    enc.rep[2] = enc.rep[1];
+    enc.rep[1] = enc.rep[0];
+    enc.rep[0] = dist - 1;
+    uint32_t lval = len - 2;
+    enc.encode_len(enc.layout.len_coder, pos_state, lval);
+    enc.state = enc.state < 7 ? 7 : 10;
+    enc.encode_distance(lval, dist - 1);
+    return;
+  }
+  if (kind == 1) {
+    enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
+    enc.bit(enc.layout.is_rep + enc.state, 1);
+    enc.bit(enc.layout.is_rep_g0 + enc.state, 0);
+    enc.bit(enc.layout.is_rep_0long + (size_t(enc.state) << 4) + pos_state,
+            0);
+    enc.state = enc.state < 7 ? 9 : 11;
+    return;
+  }
+  enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 0);
+  enc.literal(block, pos, pos);
+  enc.state = enc.state < 4 ? 0
+                            : (enc.state < 10 ? enc.state - 3
+                                              : enc.state - 6);
+}
+
+// One DP window starting at `start`; emits the optimal step sequence and
+// returns the new position (> start).
+static size_t optimal_parse_emit(const uint8_t* block, size_t start,
+                                 size_t end, MatchFinder& mf,
+                                 LzmaEncoder& enc, size_t dist_cap) {
+  constexpr uint64_t kInf = ~0ull;
+  // Long-rep shortcut: a rep0 run covering the whole DP window (long
+  // literal runs, structured repeats) is emitted directly — no cheaper
+  // parse of it exists, and skipping the DP makes run-heavy data encode
+  // at greedy speed.
+  {
+    size_t max_dist = start < kEncDictSize ? start : kEncDictSize;
+    if (dist_cap && max_dist > dist_cap) max_dist = dist_cap;
+    size_t d0 = size_t(enc.rep[0]) + 1;
+    if (d0 <= max_dist) {
+      size_t limit = end - start;
+      if (limit > kMaxMatchLen) limit = kMaxMatchLen;
+      const uint8_t* q = block + start - d0;
+      size_t l = 0;
+      while (l < limit && q[l] == block[start + l]) l++;
+      if (l >= kOptWin || (l >= 2 && l == end - start)) {
+        emit_step(block, start, enc, 2, uint32_t(l), uint32_t(d0));
+        for (size_t p = start; p < start + l; p++) mf.insert(p);
+        return start + l;
+      }
+    }
+  }
+  const int n = int(std::min<size_t>(kOptWin, end - start));
+  static thread_local std::vector<OptNode> nodes;
+  nodes.assign(size_t(n) + 1, OptNode{kInf, -1, 0, 0, 0});
+  nodes[0].cost = 0;
+  const uint32_t rp[4] = {enc.rep[0], enc.rep[1], enc.rep[2], enc.rep[3]};
+
+  for (int i = 0; i < n; i++) {
+    if (nodes[i].cost == kInf) continue;
+    const size_t ap = start + i;
+    const size_t ps = ap & ((size_t(1) << enc.pb) - 1);
+    const uint64_t c = nodes[i].cost;
+    auto relax = [&](size_t j, uint64_t cost, uint8_t kind, uint16_t len,
+                     uint32_t dist) {
+      size_t jj = j > size_t(n) ? size_t(n) : j;
+      if (cost < nodes[jj].cost)
+        nodes[jj] = OptNode{cost, int32_t(i), kind, len, dist};
+    };
+    relax(size_t(i) + 1, c + enc.price_literal(block, ap, ap), 0, 1, 0);
+
+    size_t limit = end - ap;
+    if (limit > kMaxMatchLen) limit = kMaxMatchLen;
+    size_t max_dist = ap < kEncDictSize ? ap : kEncDictSize;
+    if (dist_cap && max_dist > dist_cap) max_dist = dist_cap;
+
+    for (int r = 0; r < 4; r++) {
+      size_t d = size_t(rp[r]) + 1;
+      if (d > max_dist) continue;
+      const uint8_t* q = block + ap - d;
+      size_t l = 0;
+      while (l < limit && q[l] == block[ap + l]) l++;
+      if (r == 0 && l >= 1)
+        relax(size_t(i) + 1, c + enc.price_shortrep(ps), 1, 1, uint32_t(d));
+      if (l < 2) continue;
+      uint32_t lmax = uint32_t(l);
+      for (uint32_t len = 2; len <= 8 && len <= lmax; len++)
+        relax(size_t(i) + len, c + enc.price_rep(r, len, ps), 2,
+              uint16_t(len), uint32_t(d));
+      if (lmax > 8)
+        relax(size_t(i) + lmax, c + enc.price_rep(r, lmax, ps), 2,
+              uint16_t(lmax), uint32_t(d));
+    }
+
+    uint32_t m_len = 0, m_dist = 0;
+    if (ap + 4 <= end) {
+      auto m = mf.find(ap, max_dist, limit);
+      m_len = m.first;
+      m_dist = m.second;
+    }
+    mf.insert(ap);
+    if (m_len >= 2) {
+      for (uint32_t len = 2; len <= 8 && len <= m_len; len++)
+        relax(size_t(i) + len,
+              c + enc.price_match(ps, len, m_dist - 1), 3, uint16_t(len),
+              m_dist);
+      if (m_len > 8)
+        relax(size_t(i) + m_len,
+              c + enc.price_match(ps, m_len, m_dist - 1), 3,
+              uint16_t(m_len), m_dist);
+    }
+  }
+
+  // Trace the optimal path back from the window end, then emit forward.
+  static thread_local std::vector<int> path;
+  path.clear();
+  for (int j = n; j > 0; j = nodes[j].from) path.push_back(j);
+  size_t p = start;
+  for (auto it = path.rbegin(); it != path.rend(); ++it) {
+    const OptNode& s = nodes[*it];
+    emit_step(block, p, enc, s.kind, s.len, s.dist);
+    size_t next = p + s.len;
+    // positions beyond the DP loop (a final match overshooting the
+    // window) still need match-finder insertion
+    for (size_t q = std::max(p + 1, start + size_t(n)); q < next; q++)
+      mf.insert(q);
+    p = next;
+  }
+  return p;
+}
+
 // Encode block[start..end) as one LZMA chunk payload. `block` begins at
 // the dict-reset point (positions are block-relative). The encoder state
 // (probs/state/reps) persists across chunks of a block (LZMA2 reset_mode
-// 0 continuation); only the range coder restarts per chunk. Greedy parse
-// with one-position lazy lookahead.
+// 0 continuation); only the range coder restarts per chunk. parse_mode:
+// 2 = the optimal-parse-lite DP above, 1 = greedy with price-density
+// candidate selection, 0 = greedy with length heuristics + lazy
+// lookahead.
 static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
                                      size_t end, MatchFinder& mf,
-                                     LzmaEncoder& enc, bool price_mode,
+                                     LzmaEncoder& enc, int parse_mode,
                                      size_t dist_cap) {
   enc.rc = RangeEncoder();
+  if (parse_mode == 2) {
+    size_t p = start;
+    while (p < end) p = optimal_parse_emit(block, p, end, mf, enc, dist_cap);
+    enc.rc.finish();
+    return std::move(enc.rc.out);
+  }
   const int pb = enc.pb;
   size_t pos = start;
   while (pos < end) {
@@ -1314,7 +1523,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       }
 
     bool use_rep, use_match;
-    if (price_mode) {
+    if (parse_mode == 1) {
       // Price-density selection: choose the symbol with the lowest coded
       // bits per byte advanced, from the *current adaptive* model. The
       // denominator makes long matches win over marginally-cheaper short
@@ -1490,7 +1699,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
 // chunk resets state (reset_mode 1) as the spec requires.
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
-                                 bool price_mode, int props, size_t dist_cap,
+                                 int parse_mode, int props, size_t dist_cap,
                                  std::string& out) {
   const size_t kChunk = chunk_size;
   MatchFinder mf(data, n, depth);
@@ -1517,7 +1726,7 @@ static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
     uint32_t rep_snap[4] = {enc.rep[0], enc.rep[1], enc.rep[2], enc.rep[3]};
 
     std::string payload =
-        encode_lzma_chunk(data, pos, end, mf, enc, price_mode, dist_cap);
+        encode_lzma_chunk(data, pos, end, mf, enc, parse_mode, dist_cap);
     if (payload.size() + 6 < unpacked && payload.size() <= 65536) {
       int reset_mode = next_reset;
       uint32_t usz = uint32_t(unpacked - 1);
