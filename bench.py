@@ -28,7 +28,7 @@ sys.path.insert(0, HERE)
 BENCH_DIR = os.path.join(HERE, ".bench")
 CORPUS = os.path.join(BENCH_DIR, "corpus.bin")
 CORPUS_XZ = os.path.join(BENCH_DIR, "corpus.xz")
-TARGET_MB = 60
+TARGET_MB = int(os.environ.get("LZMA_RS_TPU_BENCH_MB", "60"))
 
 
 def log(*a):
