@@ -35,17 +35,21 @@ if nproc > 1:
         process_id=proc)
 sys.path.insert(0, %(here)r)
 from lzma_rs_tpu.parallel import multihost
+from lzma_rs_tpu.utils import stats as stats_mod
 data = open(path, "rb").read()
 # warm
 out = multihost.xz_decode_multihost(data)
-t0 = time.time()
-out = multihost.xz_decode_multihost(data)
-dt = time.time() - t0
-print(f"RESULT {proc} {len(out)} {dt:.4f}", flush=True)
+with stats_mod.collect() as st:
+    t0 = time.time()
+    out = multihost.xz_decode_multihost(data)
+    dt = time.time() - t0
+print(f"RESULT {proc} {len(out)} {dt:.4f} "
+      f"{st.multihost_decode_seconds:.4f} "
+      f"{st.multihost_gather_wait_seconds:.4f}", flush=True)
 """
 
 
-def run(nproc: int, path: str) -> float:
+def run(nproc: int, path: str):
     script = WORKER % {"here": HERE}
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(script)
@@ -59,14 +63,18 @@ def run(nproc: int, path: str) -> float:
         )
         for i in range(nproc)
     ]
-    times = []
+    times, decodes, waits = [], [], []
     for p in procs:
         out, _ = p.communicate(timeout=600)
         for line in out.splitlines():
             if line.startswith("RESULT"):
-                times.append(float(line.split()[3]))
+                parts = line.split()
+                times.append(float(parts[3]))
+                decodes.append(float(parts[4]))
+                waits.append(float(parts[5]))
     assert len(times) == nproc, f"missing results: {times}"
-    return max(times)
+    return max(times), max(decodes) if decodes else 0.0, \
+        max(waits) if waits else 0.0
 
 
 def main():
@@ -85,21 +93,46 @@ def main():
         path = f.name
 
     n_mb = len(data) / 1e6
-    t1 = run(1, path)
-    t2 = run(2, path)
-    eff = t1 / (t2 * 1)  # same machine: ideal == equal wall time
-    print(
-        json.dumps(
-            {
-                "corpus_mb": round(n_mb, 1),
-                "hosts_1_s": round(t1, 3),
-                "hosts_2_s": round(t2, 3),
-                "throughput_1_mb_s": round(n_mb / t1, 1),
-                "throughput_2_mb_s": round(n_mb / t2, 1),
-                "protocol_efficiency": round(eff, 3),
-            }
-        )
-    )
+    curve, dec, wait = {}, {}, {}
+    for n in (1, 2, 4):
+        best = (1e18, 0, 0)
+        for _ in range(2):  # best-of-2: noisy shared-core machine
+            r = run(n, path)
+            if r[0] < best[0]:
+                best = r
+        curve[n], dec[n], wait[n] = best
+    if not dec[1]:
+        dec[1] = curve[1]  # single-proc short-circuits multihost stats
+    result = {
+        "corpus_mb": round(n_mb, 1),
+        "note": (
+            "single machine, CPU loopback: N processes SHARE the "
+            "physical cores, so added compute is impossible by "
+            "construction — decode_s measures the per-host compute "
+            "share (ideal: t1/N per host), gather_wait_s the residual "
+            "communication NOT hidden behind decode (gloo loopback is "
+            "~10 MB/s, three orders below real DCN; on hardware this "
+            "term shrinks proportionally)"
+        ),
+        "wall_s": {str(n): round(t, 3) for n, t in curve.items()},
+        "decode_s": {str(n): round(t, 3) for n, t in dec.items()},
+        "gather_wait_s": {str(n): round(t, 3) for n, t in wait.items()},
+        # shared cores: total core-seconds are constant, so ideal decode
+        # wall time is EQUAL across N (each host: 1/N the data on 1/N
+        # the cores) — efficiency = dec_1 / dec_N
+        "decode_scaling_efficiency": {
+            str(n): round(dec[1] / dec[n], 3) if dec[n] else None
+            for n in curve
+        },
+        "throughput_mb_s": {
+            str(n): round(n_mb / t, 1) for n, t in curve.items()
+        },
+    }
+    print(json.dumps(result))
+    out_path = os.path.join(HERE, "benches", "SCALING.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

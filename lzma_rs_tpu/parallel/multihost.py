@@ -87,11 +87,62 @@ def assign_blocks(spans: List[BlockSpan], n_hosts: int) -> List[int]:
     return owner
 
 
+#: Target decoded bytes per gather wave: small enough that the first
+#: gather starts early (communication overlaps later waves' decode),
+#: large enough that per-collective latency amortizes. Tunable via
+#: LZMA_RS_TPU_WAVE_BYTES for slice-specific DCN characteristics.
+import os as _os
+
+WAVE_BYTES = int(_os.environ.get("LZMA_RS_TPU_WAVE_BYTES", 8 << 20))
+
+
+def plan_waves(
+    spans: List[BlockSpan], owner: List[int], n_hosts: int,
+    wave_bytes: int = WAVE_BYTES,
+) -> Tuple[List[List[List[BlockSpan]]], List[int]]:
+    """Deterministic wave schedule, identical on every host.
+
+    Returns ``(host_waves, wave_sizes)``: ``host_waves[h][w]`` is host
+    h's block list for wave w (contiguous in stream order), and
+    ``wave_sizes[w]`` the padded per-host buffer size of wave w's
+    all-gather (max over hosts). Collectives must execute in the same
+    order with the same shapes on every process, so the schedule is a
+    pure function of the shared block table."""
+    per_host = [
+        [s for s, o in zip(spans, owner) if o == h] for h in range(n_hosts)
+    ]
+    max_owned = max(
+        (sum(s.out_len for s in hs) for hs in per_host), default=0
+    )
+    n_waves = max(1, -(-max_owned // wave_bytes))
+    host_waves: List[List[List[BlockSpan]]] = []
+    for hs in per_host:
+        total = sum(s.out_len for s in hs)
+        groups: List[List[BlockSpan]] = [[] for _ in range(n_waves)]
+        acc = 0
+        for s in hs:
+            w = min(n_waves - 1, acc * n_waves // max(total, 1))
+            groups[w].append(s)
+            acc += s.out_len
+        host_waves.append(groups)
+    wave_sizes = [
+        max(
+            (sum(s.out_len for s in host_waves[h][w]) for h in range(n_hosts)),
+            default=0,
+        )
+        for w in range(n_waves)
+    ]
+    return host_waves, wave_sizes
+
+
 def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
     """Decode `.xz` with blocks sharded across JAX processes.
 
     Every process must call this with identical ``data``; every process
-    returns the full decompressed bytes.
+    returns the full decompressed bytes. Output moves in *waves*: as soon
+    as a host finishes its first wave of blocks, that wave's all-gather
+    runs on a background thread while the next wave decodes — DCN
+    communication overlaps decode instead of one big end-of-job gather.
     """
     import jax
 
@@ -106,48 +157,67 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
 
     flags, spans, total_out = scan_blocks(data)
     owner = assign_blocks(spans, n_hosts)
+    host_waves, wave_sizes = plan_waves(spans, owner, n_hosts)
 
-    # Each host packs its owned blocks densely (in stream order); the
-    # all-gather then moves ~total bytes over DCN instead of
-    # n_hosts x total zero-padded buffers. Placement is derived from the
-    # shared plan, so reassembly needs no extra metadata exchange.
     import os
-
-    threads = max(1, (os.cpu_count() or 1) // n_hosts) if n_hosts > 1 else None
-    owned = [s for s, o in zip(spans, owner) if o == host]
-    owned_len = sum(s.out_len for s in owned)
-    max_owned = max(
-        (sum(s.out_len for s, o in zip(spans, owner) if o == h) for h in range(n_hosts)),
-        default=0,
-    )
-    local = np.zeros(max_owned, dtype=np.uint8)
-    off = 0
-    for s in owned:
-        plan, _ = rt.plan_lzma2_stream(data, s.payload_start, 0)
-        if engine == "native":
-            out = rt.execute_plan_native(data, [plan], threads=threads)
-        else:
-            out = rt.execute_plan(data, [plan])
-        local[off : off + s.out_len] = np.frombuffer(out, dtype=np.uint8)
-        off += s.out_len
-    assert off == owned_len
+    from concurrent.futures import ThreadPoolExecutor
 
     from jax.experimental import multihost_utils
 
-    gathered = np.asarray(multihost_utils.process_allgather(local)).reshape(
-        n_hosts, -1
-    )
+    threads = max(1, (os.cpu_count() or 1) // n_hosts)
 
-    # Stitch: walk spans in stream order, consuming each owner's dense
-    # buffer sequentially (assignment order == stream order per owner).
-    full = np.zeros(total_out, dtype=np.uint8)
-    cursors = [0] * n_hosts
-    for s, own in zip(spans, owner):
-        c = cursors[own]
-        full[s.out_base : s.out_base + s.out_len] = gathered[
-            own, c : c + s.out_len
+    def decode_wave(wave_spans, size):
+        local = np.zeros(size, dtype=np.uint8)
+        off = 0
+        for s in wave_spans:
+            plan, _ = rt.plan_lzma2_stream(data, s.payload_start, 0)
+            if engine == "native":
+                out = rt.execute_plan_native(data, [plan], threads=threads)
+            else:
+                out = rt.execute_plan(data, [plan])
+            local[off : off + s.out_len] = np.frombuffer(out, dtype=np.uint8)
+            off += s.out_len
+        return local
+
+    # One background worker keeps the collective order identical on every
+    # process; the native decode releases the GIL, so wave w's gather
+    # genuinely overlaps wave w+1's decode.
+    import time as _time
+
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    st = stats_mod.current()
+    t_decode = 0.0
+    futs = []
+    with ThreadPoolExecutor(max_workers=1) as gather_pool:
+        for w, size in enumerate(wave_sizes):
+            t0 = _time.perf_counter()
+            local = decode_wave(host_waves[host][w], size)
+            t_decode += _time.perf_counter() - t0
+            futs.append(
+                gather_pool.submit(multihost_utils.process_allgather, local)
+            )
+        t0 = _time.perf_counter()
+        gathered_waves = [
+            np.asarray(f.result()).reshape(n_hosts, -1) for f in futs
         ]
-        cursors[own] = c + s.out_len
+        t_gather_wait = _time.perf_counter() - t0
+    if st is not None:
+        st.multihost_decode_seconds += t_decode
+        st.multihost_gather_wait_seconds += t_gather_wait
+        st.multihost_waves += len(wave_sizes)
+
+    # Stitch: walk each wave's spans in stream order, consuming each
+    # owner's dense buffer sequentially.
+    full = np.zeros(total_out, dtype=np.uint8)
+    for w, gathered in enumerate(gathered_waves):
+        for h in range(n_hosts):
+            c = 0
+            for s in host_waves[h][w]:
+                full[s.out_base : s.out_base + s.out_len] = gathered[
+                    h, c : c + s.out_len
+                ]
+                c += s.out_len
 
     # Every host verifies checks + index + footer on the assembled result.
     for s in spans:

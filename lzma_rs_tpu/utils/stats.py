@@ -48,6 +48,11 @@ class DecodeStats:
     device_crc_seconds: float = 0.0
     device_crc_bytes: int = 0
     devices: int = 0
+    multihost_decode_seconds: float = 0.0
+    #: Residual wait on the overlapped wave gathers after local decode
+    #: finished (0 = communication fully hidden behind decode).
+    multihost_gather_wait_seconds: float = 0.0
+    multihost_waves: int = 0
     blocks: List[BlockStat] = dataclasses.field(default_factory=list)
     #: Why a faster engine was skipped (e.g. "vmem-ineligible: segment
     #: 131072 > window 16384"). Per SURVEY's "no silent caps": TPU perf

@@ -20,4 +20,14 @@ data = open("/root/reference/tests/files/foo.txt", "rb").read()
 c = lzma_rs_tpu.xz_compress(data, block_size=1 << 14, check_method=4)
 out = multihost.xz_decode_multihost(c)
 assert out == data, f"proc {proc}: mismatch"
-print(f"proc {proc}/{nproc}: OK ({len(out)} bytes, bit-exact)", flush=True)
+# again with tiny waves so several overlapped gathers actually happen
+flags, spans, total = multihost.scan_blocks(c)
+owner = multihost.assign_blocks(spans, nproc)
+hw, sizes = multihost.plan_waves(spans, owner, nproc, wave_bytes=32768)
+multihost.WAVE_BYTES = 32768
+out2 = multihost.xz_decode_multihost(c)
+assert out2 == data, f"proc {proc}: wave mismatch"
+print(
+    f"proc {proc}/{nproc}: OK ({len(out)} bytes, bit-exact; "
+    f"{len(sizes)} waves pipelined)", flush=True,
+)
