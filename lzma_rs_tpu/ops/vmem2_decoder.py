@@ -1,0 +1,897 @@
+"""Gen-2 VMEM Pallas decoder: 2-D lane tiles + state-in-refs.
+
+Same DFA, tables, and host interface as ``ops/vmem_decoder.py`` (gen-1),
+re-laid-out for how Mosaic actually assigns vector registers:
+
+- **2-D lane tiles.** Gen-1 kept per-lane state as 1-D ``[L]`` vectors,
+  which Mosaic lays out *sublane-replicated*: one vreg is (8, 128), so an
+  ``[L]`` op does useful work in 1/8 of every vreg. Gen-2 lanes are
+  ``[S, 128]`` tiles (L = S*128 independent segments), so every tiny DFA
+  op retires 8x the lanes per issue slot (measured 6.5x cheaper per
+  lane-op, ``tools/probe_lane2d.py``).
+- **State in scratch refs, scalars in the loop carry.** Gen-1 carried ~23
+  lane vectors through ``lax.while_loop``; at L=256 that is ~60 vregs,
+  and the spills to the VMEM stack dominated the 6.9 us/step cost
+  (docs/DESIGN.md). It also made layout inference fragile: splat-
+  initialized carries get inferred fully-replicated and concrete body
+  updates cannot relayout into them (the "Invalid relayout {0,0}"
+  failures, ``tools/probe_lane2d_bisect.py``). Gen-2 keeps ALL lane state
+  in one ``[NSLOT, S, 128]`` VMEM scratch ref; the while carries hold
+  only scalars, so there is nothing to spill and nothing to infer.
+  Measured on v5e (``tools/probe_state_in_ref.py``): a realistic-weight
+  step body runs 0.35 us at 1024 lanes / 0.45 us at 2048 lanes versus
+  gen-1's 6.9 us at 256 lanes.
+
+Symbol semantics, the 19-node micro-op DFA, the packed probability /
+window / ring layouts, chunk scheduling, and error codes are shared with
+gen-1 (imported below) and mirror the executable spec (``models/spec.py``)
+and the reference decoder:
+  range coder:   /root/reference/src/decode/rangecoder.rs:93-152
+  state machine: /root/reference/src/decode/lzma.rs:278-593
+  LZMA2 resets:  /root/reference/src/decode/lzma2.rs:104-193
+
+Bit-exactness is enforced by ``tests/test_vmem2_kernel.py`` (interpret
+mode on CPU; compiled on TPU via the runtime dispatch tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lzma_rs_tpu.models.state import PROB_INIT
+from lzma_rs_tpu.ops.vmem_decoder import (  # shared DFA/layout/constants
+    ERR_EOF,
+    ERR_EOS_EXTRA,
+    ERR_DIST_OUT,
+    ERR_MATCHDIST,
+    ERR_NONE,
+    ERR_RING,
+    ERR_SHORT,
+    ERR_SIZE,
+    KernelConfig,
+    LIT_ROW,
+    N_ALIGN,
+    N_CHUNK,
+    N_COPY,
+    N_DIRECT,
+    N_DONE,
+    N_ERROR,
+    N_ISMATCH,
+    N_ISREP,
+    N_ISREP0LONG,
+    N_ISREPG0,
+    N_ISREPG1,
+    N_ISREPG2,
+    N_LEN_CHOICE,
+    N_LEN_CHOICE2,
+    N_LEN_TREE,
+    N_LIT,
+    N_LITM,
+    N_POSSLOT,
+    N_SPECPOS,
+    _ABLATE,
+    _after_lit,
+    _after_match,
+    _after_rep,
+    _after_shortrep,
+    hot_layout,
+)
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+# State-slot indices in the [NSLOT, S, M] scratch ref.
+_SLOTS = (
+    "node", "meta", "rng", "cod", "inp", "inend", "outp", "outend",
+    "state", "rep0", "rep1", "rep2", "rep3", "acc", "cnt", "tmp", "rev",
+    "length", "dist", "mbyte", "prevb", "tile_base",
+)
+NSLOT = len(_SLOTS)
+_OUTP_SLOT = _SLOTS.index("outp")
+_INP_SLOT = _SLOTS.index("inp")
+_META_SLOT = _SLOTS.index("meta")
+_NODE_SLOT = _SLOTS.index("node")
+_TILEBASE_SLOT = _SLOTS.index("tile_base")
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig2(KernelConfig):
+    """Gen-2 shape bucket. Identical fields; ``L`` should be a multiple
+    of 128 on hardware (lanes fold into [L//128, 128] tiles). Smaller L
+    is allowed for interpret-mode tests (folds into [1, L])."""
+
+    L: int = 1024
+    UNROLL: int = 2
+
+
+def _fold(L: int):
+    """Lane-tile shape: (S, M) with M = 128 when possible."""
+    if L % 128 == 0:
+        return L // 128, 128
+    return 1, L
+
+
+def decode_segments_vmem2(
+    inbuf,        # [W_IN//4, L] i32 — staged compressed bytes, LE-packed
+    win_init,     # [W//4, L] i32 — prefilled with uncompressed chunks
+    in_start,     # [K, L] i32 — lane-local chunk payload offsets
+    in_end,       # [K, L] i32
+    out_start,    # [K, L] i32 — lane-local output offset at chunk start
+    out_end,      # [K, L] i32
+    chunk_meta,   # [K, L] i32 — pack_chunk_meta(reset, lc, lp, pb, valid)
+    *,
+    config: KernelConfig2,
+    max_iters: int,
+    interpret: bool = False,
+):
+    """Decode all lanes to completion. Same contract as gen-1's
+    ``decode_segments_vmem``: returns (win, err, outp, iters) with the
+    2-D [rows, L] layout (lane tiles are internal)."""
+    cfg = config
+    W, W_IN, K, TILE = cfg.W, cfg.W_IN, cfg.K, cfg.TILE
+    L = inbuf.shape[1]
+    S, M = _fold(L)
+    LIT_W = cfg.lit_w
+    NPS = cfg.NPS
+
+    HL = hot_layout(NPS)
+    H_IS_MATCH = HL["is_match"]
+    H_IS_REP = HL["is_rep"]
+    H_G0 = HL["is_rep_g0"]
+    H_G1 = HL["is_rep_g1"]
+    H_G2 = HL["is_rep_g2"]
+    H_REP0LONG = HL["is_rep_0long"]
+    H_POS_SLOT = HL["pos_slot"]
+    H_SPEC_POS = HL["spec_pos"]
+    H_ALIGN = HL["align"]
+    H_LEN = HL["len"]
+    H_REP_LEN = HL["rep_len"]
+    H_TOTAL = HL["total"]
+    HOT_W = HL["padded"]
+    L_LOW = HL["len_low"]
+    L_MID = HL["len_mid"]
+    L_HIGH = HL["len_high"]
+
+    WIN_WORDS = W // 4
+    IN_WORDS = W_IN // 4
+    PROB_WORDS = (HOT_W + LIT_W) // 2  # 2 x 11-bit probs per i32 word
+    PROB_PACKED = PROB_INIT | (PROB_INIT << 16)
+    TILE_WORDS = TILE // 4
+    ROW_WORDS = 32  # 128 bytes per input row
+
+    RW_WORDS = cfg.RING // 4 if cfg.RING else 0
+
+    def kernel(
+        in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, meta_ref,
+        win_ref, err_ref, outp_ref, iters_ref,
+        st_ref, prob_ref, tile_ref, *extra_scratch,
+    ):
+        ring_ref = extra_scratch[0] if cfg.RING else None
+        win_ref[:] = win_in_ref[:]
+        prob_ref[:] = jnp.full((PROB_WORDS, S, M), PROB_PACKED, _I32)
+        tile_ref[:] = jnp.zeros((TILE_WORDS, S, M), _I32)
+        if cfg.RING:
+            ring_ref[:] = jnp.zeros((RW_WORDS, S, M), _I32)
+        zt = jnp.zeros((S, M), _I32)
+        st_ref[:] = jnp.zeros((NSLOT, S, M), _I32)
+        st_ref[_NODE_SLOT] = zt + N_CHUNK
+        st_ref[2] = zt - 1  # rng = 0xFFFFFFFF
+
+        def load_state():
+            return tuple(st_ref[i] for i in range(NSLOT))
+
+        def store_state(t):
+            for i in range(NSLOT):
+                st_ref[i] = t[i]
+
+        def onehot_read_v(table, idx, width):
+            """v[s,m] = table[idx[s,m], s, m]; values must be >= 0."""
+            rows = jax.lax.broadcasted_iota(_I32, (width, S, M), 0)
+            sel = jnp.where(rows == idx[None], table, 0)
+            return jnp.max(sel, axis=0)
+
+        def onehot_read_word(table, idx, width):
+            """Packed-word read: exactly one element selected, rest zero;
+            sum recovers the (possibly negative) word exactly."""
+            rows = jax.lax.broadcasted_iota(_I32, (width, S, M), 0)
+            sel = jnp.where(rows == idx[None], table, 0)
+            return jnp.sum(sel, axis=0)
+
+        def _extract_byte(word, k):
+            # constant-shift 4-way select (per-lane variable shifts are
+            # 2x slower in Mosaic, tools/probe_mosaic3.py P11)
+            return jnp.where(
+                k == 0, word & 0xFF,
+                jnp.where(
+                    k == 1, (word >> 8) & 0xFF,
+                    jnp.where(k == 2, (word >> 16) & 0xFF,
+                              (word >> 24) & 0xFF),
+                ),
+            )
+
+        def in_byte(inp, tile_base):
+            off = inp - tile_base
+            word = onehot_read_word(tile_ref[:], off >> 2, TILE_WORDS)
+            return _extract_byte(word, off & 3)
+
+        def refill(inp):
+            """Row-aligned lookahead refill (see gen-1 docstring)."""
+            if "refill" in _ABLATE:
+                return
+            row0 = (inp // 128)[None]
+            n_rows = TILE // 128
+            acc = [jnp.zeros((ROW_WORDS, S, M), _I32) for _ in range(n_rows)]
+            for r in range(IN_WORDS // ROW_WORDS):
+                chunk = in_ref[r * ROW_WORDS:(r + 1) * ROW_WORDS]
+                for t in range(n_rows):
+                    acc[t] = jnp.where(row0 + t == r, chunk, acc[t])
+            tile_ref[:] = jnp.concatenate(acc, axis=0)
+
+        def step(carry):
+            # One DFA micro-op per lane. Pure function of the 22-slot
+            # state tuple (values live in vregs between unrolled steps;
+            # the inner loop loads/stores the slots once per UNROLL
+            # group). Semantics identical to gen-1's step().
+            (node0, meta0, rng, cod, inp, inend, outp, outend, state,
+             rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
+             mbyte, prevb, tile_base) = carry
+            err = meta0 & 15
+            pending = (meta0 >> 4) & 3
+            len_rep = (meta0 >> 6) & 1
+            lit_ctx = (meta0 >> 7) & 7
+            lc = (meta0 >> 10) & 15
+            lp = (meta0 >> 14) & 7
+            pb = (meta0 >> 17) & 7
+            chunk_i = (meta0 >> 20) & 63
+
+            is_prob = (node0 <= N_ALIGN) & (node0 != N_DIRECT)
+            is_lit_node = (node0 == N_LIT) | (node0 == N_LITM)
+            is_direct = node0 == N_DIRECT
+            active_bit = is_prob | is_direct
+
+            pos_state = outp & ((1 << pb) - 1)
+            st4 = state * NPS + pos_state
+
+            # -------- Stage A: probability index + one bit --------------
+            match_bit0 = (mbyte >> 7) & 1
+            len_base = jnp.where(len_rep == 1, H_REP_LEN, H_LEN)
+            hot_idx = tmp + acc  # LEN_TREE / POSSLOT / SPECPOS / ALIGN
+            for cond_, val in (
+                (node0 == N_ISMATCH, H_IS_MATCH + st4),
+                (node0 == N_ISREP, H_IS_REP + state),
+                (node0 == N_ISREPG0, H_G0 + state),
+                (node0 == N_ISREP0LONG, H_REP0LONG + st4),
+                (node0 == N_ISREPG1, H_G1 + state),
+                (node0 == N_ISREPG2, H_G2 + state),
+                (node0 == N_LEN_CHOICE, len_base),
+                (node0 == N_LEN_CHOICE2, len_base + 1),
+            ):
+                hot_idx = jnp.where(cond_, val, hot_idx)
+            hot_idx = jnp.clip(hot_idx, 0, H_TOTAL - 1)
+            lit_idx = jnp.where(
+                node0 == N_LITM, ((1 + match_bit0) << 8) + acc, acc
+            )
+            lit_idx = jnp.clip(lit_ctx * LIT_ROW + lit_idx, 0, LIT_W - 1)
+            pidx = jnp.where(is_lit_node, HOT_W + lit_idx, hot_idx)
+            pword_idx = pidx >> 1
+            phalf = pidx & 1
+            if "probread" in _ABLATE:
+                pword = pword_idx * 0 + PROB_PACKED
+            else:
+                pword = onehot_read_word(prob_ref[:], pword_idx,
+                                         PROB_WORDS)
+            p = jnp.where(
+                phalf == 1, (pword >> 16) & 0xFFFF, pword & 0xFFFF
+            ).astype(_U32)
+
+            rng_u = rng.astype(_U32)
+            cod_u = cod.astype(_U32)
+            bound = (rng_u >> 11) * p
+            prob_bit = (cod_u >= bound).astype(_I32)
+            new_p = jnp.where(
+                prob_bit == 1, p - (p >> 5), p + ((_U32(0x800) - p) >> 5)
+            ).astype(_I32)
+
+            new_pword = jnp.where(
+                phalf == 1,
+                (pword & 0xFFFF) | (new_p << 16),
+                (pword & jnp.int32(-0x10000)) | new_p,
+            )
+            prob_rows = jax.lax.broadcasted_iota(
+                _I32, (PROB_WORDS, S, M), 0
+            )
+            if "probwrite" not in _ABLATE:
+                pm = (prob_rows == pword_idx[None]) & is_prob[None]
+                prob_ref[:] = jnp.where(pm, new_pword[None], prob_ref[:])
+
+            rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
+            cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
+
+            rng_d = rng_u >> 1
+            dir_bit = (cod_u >= rng_d).astype(_I32)
+            cod_d = jnp.where(dir_bit == 1, cod_u - rng_d, cod_u)
+
+            bit = jnp.where(is_prob, prob_bit, dir_bit)
+            rng_u = jnp.where(
+                is_prob, rng_p, jnp.where(is_direct, rng_d, rng_u)
+            )
+            cod_u = jnp.where(
+                is_prob, cod_p, jnp.where(is_direct, cod_d, cod_u)
+            )
+
+            # -------- Stage B: renormalize ------------------------------
+            need = active_bit & (rng_u < _U32(1 << 24))
+            can = inp < inend
+            eof = need & ~can
+            err = jnp.where(eof & (err == ERR_NONE), ERR_EOF, err)
+            node = jnp.where(eof, N_ERROR, node0)
+            do = need & can
+            byte_in = in_byte(inp, tile_base).astype(_U32)
+            rng_u = jnp.where(do, rng_u << 8, rng_u)
+            cod_u = jnp.where(do, (cod_u << 8) ^ byte_in, cod_u)
+            inp = jnp.where(do, inp + 1, inp)
+            rng = rng_u.astype(_I32)
+            cod = cod_u.astype(_I32)
+
+            ok = node != N_ERROR
+
+            def end_symbol(mask, node, err, outp_v):
+                over = mask & (outp_v > outend)
+                err = jnp.where(over & (err == ERR_NONE), ERR_SIZE, err)
+                node = jnp.where(over, N_ERROR, node)
+                chunk_done = mask & ~over & (outp_v == outend)
+                node = jnp.where(chunk_done, N_CHUNK, node)
+                cont = mask & ~over & ~chunk_done
+                node = jnp.where(cont, N_ISMATCH, node)
+                return node, err
+
+            # --- N_ISMATCH ----------------------------------------------
+            m = ok & (node0 == N_ISMATCH)
+            m0 = m & (bit == 0)
+            lit_state = ((outp & ((1 << lp) - 1)) << lc) + (
+                prevb >> (8 - lc)
+            )
+            matched = m0 & (state >= 7)
+            bad_md = matched & (rep0 + 1 > outp)
+            err = jnp.where(bad_md & (err == ERR_NONE), ERR_MATCHDIST, err)
+            node = jnp.where(bad_md, N_ERROR, node)
+            matched = matched & ~bad_md
+            if cfg.RING:
+                far_ml = matched & (rep0 + 1 > cfg.RING)
+                err = jnp.where(far_ml & (err == ERR_NONE), ERR_RING, err)
+                node = jnp.where(far_ml, N_ERROR, node)
+                matched = matched & ~far_ml
+                bad_md = bad_md | far_ml
+            start_lit = m0 & ~bad_md
+            acc = jnp.where(start_lit, 1, acc)
+            node = jnp.where(
+                start_lit, jnp.where(state >= 7, N_LITM, N_LIT), node
+            )
+            node = jnp.where(m & (bit == 1), N_ISREP, node)
+
+            lit_ctx = jnp.where(start_lit, lit_state, lit_ctx)
+
+            # --- N_LITM ---------------------------------------------------
+            m = ok & (node0 == N_LITM)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            mbyte = jnp.where(m, (mbyte << 1) & 0xFF, mbyte)
+            done_litm = m & (acc >= 0x100)
+            drop = m & ~done_litm & (bit != match_bit0)
+            node = jnp.where(drop, N_LIT, node)
+
+            # --- N_LIT ----------------------------------------------------
+            m = ok & (node0 == N_LIT)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            done_lit = (m & (acc >= 0x100)) | done_litm
+
+            lit_emit = (acc - 0x100) & 0xFF
+            state = jnp.where(done_lit, _after_lit(state), state)
+
+            # --- N_ISREP --------------------------------------------------
+            m = ok & (node0 == N_ISREP)
+            m0 = m & (bit == 0)
+            rep3 = jnp.where(m0, rep2, rep3)
+            rep2 = jnp.where(m0, rep1, rep2)
+            rep1 = jnp.where(m0, rep0, rep1)
+            len_rep = jnp.where(m0, 0, len_rep)
+            node = jnp.where(m0, N_LEN_CHOICE, node)
+            node = jnp.where(m & (bit == 1), N_ISREPG0, node)
+
+            # --- N_ISREPG0 ------------------------------------------------
+            m = ok & (node0 == N_ISREPG0)
+            node = jnp.where(m & (bit == 0), N_ISREP0LONG, node)
+            node = jnp.where(m & (bit == 1), N_ISREPG1, node)
+
+            # --- N_ISREP0LONG --------------------------------------------
+            m = ok & (node0 == N_ISREP0LONG)
+            short = m & (bit == 0)
+            state = jnp.where(short, _after_shortrep(state), state)
+            long0 = m & (bit == 1)
+            len_rep = jnp.where(long0, 1, len_rep)
+            node = jnp.where(long0, N_LEN_CHOICE, node)
+
+            # --- N_ISREPG1 ------------------------------------------------
+            m = ok & (node0 == N_ISREPG1)
+            sel1 = m & (bit == 0)
+            r0, r1 = rep0, rep1
+            rep0 = jnp.where(sel1, r1, rep0)
+            rep1 = jnp.where(sel1, r0, rep1)
+            len_rep = jnp.where(sel1, 1, len_rep)
+            node = jnp.where(sel1, N_LEN_CHOICE, node)
+            node = jnp.where(m & (bit == 1), N_ISREPG2, node)
+
+            # --- N_ISREPG2 ------------------------------------------------
+            m = ok & (node0 == N_ISREPG2)
+            sel2 = m & (bit == 0)
+            sel3 = m & (bit == 1)
+            r0, r1, r2, r3 = rep0, rep1, rep2, rep3
+            rep0 = jnp.where(sel2, r2, jnp.where(sel3, r3, rep0))
+            rep1 = jnp.where(sel2 | sel3, r0, rep1)
+            rep2 = jnp.where(sel2 | sel3, r1, rep2)
+            rep3 = jnp.where(sel3, r2, rep3)
+            len_rep = jnp.where(m, 1, len_rep)
+            node = jnp.where(m, N_LEN_CHOICE, node)
+
+            # --- N_LEN_CHOICE ---------------------------------------------
+            m = ok & (node0 == N_LEN_CHOICE)
+            low = m & (bit == 0)
+            tmp = jnp.where(low, len_base + L_LOW + pos_state * 8, tmp)
+            cnt = jnp.where(low, 3, cnt)
+            acc = jnp.where(low, 1, acc)
+            rev = jnp.where(low, 0, rev)  # rev doubles as len_add
+            node = jnp.where(low, N_LEN_TREE, node)
+            node = jnp.where(m & (bit == 1), N_LEN_CHOICE2, node)
+
+            # --- N_LEN_CHOICE2 --------------------------------------------
+            m = ok & (node0 == N_LEN_CHOICE2)
+            mid = m & (bit == 0)
+            high = m & (bit == 1)
+            tmp = jnp.where(mid, len_base + L_MID + pos_state * 8, tmp)
+            tmp = jnp.where(high, len_base + L_HIGH, tmp)
+            cnt = jnp.where(mid, 3, jnp.where(high, 8, cnt))
+            acc = jnp.where(m, 1, acc)
+            rev = jnp.where(mid, 8, jnp.where(high, 16, rev))
+            node = jnp.where(m, N_LEN_TREE, node)
+
+            # --- N_LEN_TREE -----------------------------------------------
+            m = ok & (node0 == N_LEN_TREE)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_len = m & (cnt == 0)
+            tree_size = jnp.where(rev >= 16, 256, 8)
+            lval = rev + acc - tree_size  # 0..271
+            length = jnp.where(done_len, lval, length)
+            repdone = done_len & (len_rep == 1)
+            state = jnp.where(repdone, _after_rep(state), state)
+            matchdone = done_len & (len_rep == 0)
+            state = jnp.where(matchdone, _after_match(state), state)
+            len_state = jnp.minimum(length, 3)
+            tmp = jnp.where(matchdone, H_POS_SLOT + len_state * 64, tmp)
+            cnt = jnp.where(matchdone, 6, cnt)
+            acc = jnp.where(matchdone, 1, acc)
+            node = jnp.where(matchdone, N_POSSLOT, node)
+
+            # --- N_POSSLOT ------------------------------------------------
+            m = ok & (node0 == N_POSSLOT)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_ps = m & (cnt == 0)
+            pos_slot = acc - 64
+            small = done_ps & (pos_slot < 4)
+            big = done_ps & (pos_slot >= 4)
+            ndirect = (pos_slot >> 1) - 1
+            base_dist = (2 | (pos_slot & 1)) << jnp.clip(ndirect, 0, 30)
+            dist = jnp.where(big, base_dist, dist)
+            midrange = big & (pos_slot < 14)
+            tmp = jnp.where(
+                midrange, H_SPEC_POS + (base_dist - pos_slot), tmp
+            )
+            cnt = jnp.where(midrange, ndirect, cnt)
+            acc = jnp.where(midrange, 1, acc)
+            rev = jnp.where(midrange, 0, rev)
+            mbyte = jnp.where(midrange, 1, mbyte)  # mbyte = reverse bitpos
+            node = jnp.where(midrange, N_SPECPOS, node)
+            vast = big & (pos_slot >= 14)
+            cnt = jnp.where(vast, ndirect - 4, cnt)
+            acc = jnp.where(vast, 0, acc)
+            node = jnp.where(vast, N_DIRECT, node)
+
+            # --- N_SPECPOS ------------------------------------------------
+            m = ok & (node0 == N_SPECPOS)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            rev = jnp.where(m, rev | (bit * mbyte), rev)
+            mbyte = jnp.where(m, mbyte << 1, mbyte)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_sp = m & (cnt == 0)
+
+            # --- N_DIRECT -------------------------------------------------
+            m = ok & (node0 == N_DIRECT)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_d = m & (cnt == 0)
+            dist = jnp.where(done_d, dist + (acc << 4), dist)
+            tmp = jnp.where(done_d, H_ALIGN, tmp)
+            cnt = jnp.where(done_d, 4, cnt)
+            acc = jnp.where(done_d, 1, acc)
+            rev = jnp.where(done_d, 0, rev)
+            mbyte = jnp.where(done_d, 1, mbyte)
+            node = jnp.where(done_d, N_ALIGN, node)
+
+            # --- N_ALIGN --------------------------------------------------
+            m = ok & (node0 == N_ALIGN)
+            acc = jnp.where(m, (acc << 1) | bit, acc)
+            rev = jnp.where(m, rev | (bit * mbyte), rev)
+            mbyte = jnp.where(m, mbyte << 1, mbyte)
+            cnt = jnp.where(m, cnt - 1, cnt)
+            done_al = m & (cnt == 0)
+
+            # -------- merged distance finish + copy start ------------------
+            fin = small | done_sp | done_al
+            dfield = jnp.where(small, pos_slot, dist + rev)
+            marker = fin & (dfield == -1)  # 0xFFFFFFFF as i32
+            fin_ok = marker & (cod == 0) & (inp >= inend)
+            size_mm = fin_ok & (outp != outend)
+            err = jnp.where(size_mm & (err == ERR_NONE), ERR_SIZE, err)
+            node = jnp.where(size_mm, N_ERROR, node)
+            node = jnp.where(fin_ok & ~size_mm, N_CHUNK, node)
+            bad_eos = marker & ~fin_ok
+            err = jnp.where(bad_eos & (err == ERR_NONE), ERR_EOS_EXTRA, err)
+            node = jnp.where(bad_eos, N_ERROR, node)
+            normal = fin & ~marker
+            rep0 = jnp.where(normal, dfield, rep0)
+
+            sc = short | repdone | normal
+            sc_len = jnp.where(short, 1, length + 2)
+            sc_dist = rep0 + 1  # == dfield + 1 for `normal` (just set)
+            bad = sc & ((sc_dist > outp) | (sc_dist < 1))
+            err = jnp.where(bad & (err == ERR_NONE), ERR_DIST_OUT, err)
+            node = jnp.where(bad, N_ERROR, node)
+            good = sc & ~bad
+            if cfg.RING:
+                ring_far = good & (sc_dist > cfg.RING)
+                err = jnp.where(
+                    ring_far & (err == ERR_NONE), ERR_RING, err
+                )
+                node = jnp.where(ring_far, N_ERROR, node)
+                good = good & ~ring_far
+            node = jnp.where(good, N_COPY, node)
+            length = jnp.where(good, sc_len, length)
+            dist = jnp.where(good, sc_dist, dist)
+
+            # -------- Stage D: copy lanes move up to 4 bytes ---------------
+            m = node0 == N_COPY
+            over = m & (outp >= outend) & (length > 0)
+            err = jnp.where(over & (err == ERR_NONE), ERR_SIZE, err)
+            node = jnp.where(over, N_ERROR, node)
+            m_w = m & ~over
+            k_copy = jnp.minimum(
+                jnp.minimum(4 - (outp & 3), length), outend - outp
+            )
+            k_copy = jnp.clip(k_copy, 1, 4)
+            nadv = jnp.where(m_w, k_copy, 1)  # literal lanes emit 1 byte
+            length = jnp.where(m_w, length - nadv, length)
+            copy_done = m_w & (length == 0)
+            node, err = end_symbol(
+                done_lit | copy_done, node, err, outp + nadv
+            )
+            outp_w = outp  # emit position, before Stage E retargets outp
+
+            # -------- Stage E: chunk setup ---------------------------------
+            m = node0 == N_CHUNK
+            ci = jnp.clip(chunk_i, 0, K - 1)
+
+            def sched(ref):
+                return onehot_read_v(ref[:], ci, K)
+
+            cmeta = sched(meta_ref)
+            have = m & (chunk_i < K) & (((cmeta >> 12) & 1) == 1)
+            node = jnp.where(m & ~have, N_DONE, node)
+
+            cin = sched(is_ref)
+            cend = sched(ie_ref)
+            cout_start = sched(os_ref)
+            cout_end = sched(oe_ref)
+            creset = cmeta & 3
+            clc = (cmeta >> 2) & 15
+            clp = (cmeta >> 6) & 7
+            cpb = (cmeta >> 9) & 7
+
+            too_short = have & (cend - cin < 5)
+            err = jnp.where(too_short & (err == ERR_NONE), ERR_SHORT, err)
+            node = jnp.where(too_short, N_ERROR, node)
+            ready = have & ~too_short
+
+            covered = (
+                (cin >= tile_base)
+                & (cin + 5 + cfg.MAINT + 8 <= tile_base + TILE)
+            )
+            # Reset chunks park the lane (pending=1); the table blend runs
+            # at the next maintenance boundary (same protocol as gen-1 —
+            # an unconditional per-step blend would add a full prob pass).
+            want_tbl = ready & (creset == 1) & (pending == 0)
+            pending = jnp.where(want_tbl, 1, pending)
+            go = ready & covered & ((creset == 0) | (pending == 2))
+            wait = ready & ~go
+            inp = jnp.where(wait & ~covered, cin, inp)
+
+            reg_reset = go & (creset == 1)
+            state = jnp.where(reg_reset, 0, state)
+            rep0 = jnp.where(reg_reset, 0, rep0)
+            rep1 = jnp.where(reg_reset, 0, rep1)
+            rep2 = jnp.where(reg_reset, 0, rep2)
+            rep3 = jnp.where(reg_reset, 0, rep3)
+            pending = jnp.where(go, 0, pending)
+            lc = jnp.where(go, clc, lc)
+            lp = jnp.where(go, clp, lp)
+            pb = jnp.where(go, cpb, pb)
+
+            b1 = in_byte(cin + 1, tile_base).astype(_U32)
+            b2 = in_byte(cin + 2, tile_base).astype(_U32)
+            b3 = in_byte(cin + 3, tile_base).astype(_U32)
+            b4 = in_byte(cin + 4, tile_base).astype(_U32)
+            code0 = ((b1 << 24) | (b2 << 16) | (b3 << 8) | b4).astype(_I32)
+            rng = jnp.where(go, -1, rng)  # 0xFFFFFFFF
+            cod = jnp.where(go, code0, cod)
+            inp = jnp.where(go, cin + 5, inp)
+            inend = jnp.where(go, cend, inend)
+            outp = jnp.where(go, cout_start, outp)
+            outend = jnp.where(go, cout_end, outend)
+            chunk_i = jnp.where(go, chunk_i + 1, chunk_i)
+            node = jnp.where(go, N_ISMATCH, node)
+            insta_done = go & (cout_start == cout_end)
+            node = jnp.where(insta_done, N_CHUNK, node)
+
+            # -------- shared window READ port (one traversal per step) ----
+            is_copy = node0 == N_COPY
+            is_chunkn = node0 == N_CHUNK
+            port_pos = jnp.where(
+                is_copy, outp_w - dist,
+                jnp.where(is_chunkn, cout_start - 1, outp_w - 1 - rep0),
+            )
+            port_pos = jnp.clip(port_pos, 0, W - 1)
+            pw_idx = port_pos >> 2
+            if "port" in _ABLATE:
+                pw_rows = jax.lax.broadcasted_iota(
+                    _I32, (RW_WORDS if cfg.RING else WIN_WORDS, S, M), 0
+                )
+                w0 = pw_idx * 0
+                w1 = w0
+            elif cfg.RING:
+                pw_rows = jax.lax.broadcasted_iota(
+                    _I32, (RW_WORDS, S, M), 0
+                )
+                r0_ = pw_idx & (RW_WORDS - 1)
+                r1_ = (pw_idx + 1) & (RW_WORDS - 1)
+                w0 = jnp.sum(
+                    jnp.where(pw_rows == r0_[None], ring_ref[:], 0),
+                    axis=0,
+                )
+                w1 = jnp.sum(
+                    jnp.where(pw_rows == r1_[None], ring_ref[:], 0),
+                    axis=0,
+                )
+            else:
+                pw_rows = jax.lax.broadcasted_iota(
+                    _I32, (WIN_WORDS, S, M), 0
+                )
+                w0 = jnp.sum(
+                    jnp.where(pw_rows == pw_idx[None], win_ref[:], 0),
+                    axis=0,
+                )
+                pw1 = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
+                w1 = jnp.sum(
+                    jnp.where(pw_rows == pw1[None], win_ref[:], 0),
+                    axis=0,
+                )
+            port_byte = _extract_byte(w0, port_pos & 3)
+            mbyte = jnp.where(matched, port_byte, mbyte)
+            w0u = w0.astype(_U32)
+            w1u = w1.astype(_U32)
+            a = port_pos & 3
+            grp = jnp.where(
+                a == 0, w0u,
+                jnp.where(
+                    a == 1, (w0u >> 8) | (w1u << 24),
+                    jnp.where(
+                        a == 2, (w0u >> 16) | (w1u << 16),
+                        (w0u >> 24) | (w1u << 8),
+                    ),
+                ),
+            )
+            b0 = grp & 0xFF
+            grp = jnp.where(
+                dist == 1, b0 * _U32(0x01010101),
+                jnp.where(
+                    dist == 2, (grp & 0xFFFF) * _U32(0x00010001),
+                    jnp.where(
+                        dist == 3, (grp & 0xFFFFFF) | (b0 << 24), grp
+                    ),
+                ),
+            )
+
+            # -------- combined window write (literal emit OR copy group) --
+            wmask = done_lit | m_w
+            wcnt = jnp.where(m_w, k_copy, 1)
+            wval = jnp.where(done_lit, lit_emit.astype(_U32), grp)
+            bmask = jnp.where(
+                wcnt == 1, _U32(0xFF),
+                jnp.where(
+                    wcnt == 2, _U32(0xFFFF),
+                    jnp.where(wcnt == 3, _U32(0xFFFFFF), _U32(0xFFFFFFFF)),
+                ),
+            )
+            k = outp_w & 3
+            data_u = wval & bmask
+            placed = jnp.where(
+                k == 0, data_u,
+                jnp.where(
+                    k == 1, data_u << 8,
+                    jnp.where(k == 2, data_u << 16, data_u << 24),
+                ),
+            )
+            maskp = jnp.where(
+                k == 0, bmask,
+                jnp.where(
+                    k == 1, bmask << 8,
+                    jnp.where(k == 2, bmask << 16, bmask << 24),
+                ),
+            )
+            widx = outp_w >> 2
+            if "winwrite" in _ABLATE:
+                pass
+            elif cfg.RING:
+                widx_r = widx & (RW_WORDS - 1)
+                old_w = onehot_read_word(ring_ref[:], widx_r, RW_WORDS)
+                new_w = (
+                    (old_w.astype(_U32) & ~maskp) | placed
+                ).astype(_I32)
+                sel = (pw_rows == widx_r[None]) & wmask[None]
+                ring_ref[:] = jnp.where(sel, new_w[None], ring_ref[:])
+            else:
+                old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
+                new_w = (
+                    (old_w.astype(_U32) & ~maskp) | placed
+                ).astype(_I32)
+                sel = (pw_rows == widx[None]) & wmask[None]
+                win_ref[:] = jnp.where(sel, new_w[None], win_ref[:])
+            outp = jnp.where(wmask, outp + wcnt, outp)
+
+            lastb = jnp.where(
+                wcnt == 1, wval & 0xFF,
+                jnp.where(
+                    wcnt == 2, (wval >> 8) & 0xFF,
+                    jnp.where(
+                        wcnt == 3, (wval >> 16) & 0xFF, (wval >> 24) & 0xFF
+                    ),
+                ),
+            ).astype(_I32)
+            first = go & (cout_start == 0)
+            gap_go = go & (cout_start != outp_w) & (cout_start > 0)
+            prevb = jnp.where(wmask, lastb, prevb)
+            prevb = jnp.where(gap_go, port_byte, prevb)
+            prevb = jnp.where(first, 0, prevb)
+
+            meta = (err | (pending << 4) | (len_rep << 6)
+                    | (lit_ctx << 7) | (lc << 10) | (lp << 14)
+                    | (pb << 17) | (chunk_i << 20))
+            return (node, meta, rng, cod, inp, inend, outp, outend, state,
+                    rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
+                    dist, mbyte, prevb, tile_base)
+
+        def ring_flush(outp):
+            """Bulk-copy the ring's resident range into the full window;
+            identical semantics to gen-1 (see its docstring)."""
+            hi = outp[None]
+            lo_w = (jnp.maximum(outp - cfg.RING, 0)[None] + 3) >> 2
+            rows_r = jax.lax.broadcasted_iota(_I32, (RW_WORDS, S, M), 0)
+            for b in range(WIN_WORDS // RW_WORDS):
+                w = rows_r + b * RW_WORDS
+                t = jnp.clip(hi - w * 4, 0, 4)  # bytes to take from ring
+                take = (w >= lo_w).astype(_I32)
+                bm = jnp.where(
+                    t == 0, 0,
+                    jnp.where(
+                        t == 1, 0xFF,
+                        jnp.where(
+                            t == 2, 0xFFFF,
+                            jnp.where(t == 3, 0xFFFFFF, -1),
+                        ),
+                    ),
+                ) * take
+                blk = win_ref[b * RW_WORDS:(b + 1) * RW_WORDS]
+                merged = (blk & ~bm) | (ring_ref[:] & bm)
+                win_ref[b * RW_WORDS:(b + 1) * RW_WORDS] = merged
+
+        def outer_body(carry):
+            it, _ = carry
+            # maintenance: input-tile refill, parked prob-table resets,
+            # ring flush — all at body top level on ref state
+            inp = st_ref[_INP_SLOT]
+            refill(inp)
+            st_ref[_TILEBASE_SLOT] = (inp // 128) * 128
+            meta = st_ref[_META_SLOT]
+            pending = (meta >> 4) & 3
+            p32 = (pending == 1).astype(_I32)[None]
+            prob_ref[:] = prob_ref[:] + (PROB_PACKED - prob_ref[:]) * p32
+            st_ref[_META_SLOT] = jnp.where(
+                pending == 1, (meta & ~0x30) | (2 << 4), meta
+            )
+            if cfg.RING and "flush" not in _ABLATE:
+                ring_flush(st_ref[_OUTP_SLOT])
+
+            def inner_cond(jc):
+                return jc < cfg.MAINT
+
+            def inner_body(jc):
+                t = load_state()
+                for _ in range(cfg.UNROLL):
+                    t = step(t)
+                store_state(t)
+                return jc + cfg.UNROLL
+
+            jax.lax.while_loop(inner_cond, inner_body, jnp.int32(0))
+            node = st_ref[_NODE_SLOT]
+            if "spin" in _ABLATE:
+                active = jnp.int32(1)
+            else:
+                active = jnp.max(jnp.where(node < N_DONE, 1, 0))
+            return (it + cfg.MAINT, active)
+
+        def cond(carry):
+            it, active = carry
+            return (active == 1) & (it < max_iters)
+
+        final_it, _ = jax.lax.while_loop(
+            cond, outer_body, (jnp.zeros((), _I32), jnp.int32(1))
+        )
+        if cfg.RING:
+            ring_flush(st_ref[_OUTP_SLOT])  # final partial-period flush
+        err_ref[:] = (st_ref[_META_SLOT] & 15)[None]
+        outp_ref[:] = st_ref[_OUTP_SLOT][None]
+        iters_ref[:] = (jnp.zeros((S, M), _I32) + final_it)[None]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((WIN_WORDS, S, M), jnp.int32),
+        jax.ShapeDtypeStruct((1, S, M), jnp.int32),   # err
+        jax.ShapeDtypeStruct((1, S, M), jnp.int32),   # outp
+        jax.ShapeDtypeStruct((1, S, M), jnp.int32),   # iters
+    )
+    win, err, outp, iters = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, S, M), jnp.int32),      # lane state slots
+            pltpu.VMEM((PROB_WORDS, S, M), jnp.int32),
+            pltpu.VMEM((TILE_WORDS, S, M), jnp.int32),  # input lookahead
+        ] + (
+            [pltpu.VMEM((RW_WORDS, S, M), jnp.int32)]   # history ring
+            if cfg.RING else []
+        ),
+        interpret=interpret,
+    )(
+        inbuf.reshape(IN_WORDS, S, M),
+        win_init.reshape(WIN_WORDS, S, M),
+        in_start.reshape(K, S, M),
+        in_end.reshape(K, S, M),
+        out_start.reshape(K, S, M),
+        out_end.reshape(K, S, M),
+        chunk_meta.reshape(K, S, M),
+    )
+    return (
+        win.reshape(WIN_WORDS, L),
+        err.reshape(1, L),
+        outp.reshape(1, L),
+        iters.reshape(1, L),
+    )

@@ -484,8 +484,46 @@ def choose_vmem_config(plans: List[DecodePlan]):
     # pb <= 2 (every standard preset) packs the pos-state tables 4-wide,
     # shrinking the hot probability table ~30%
     nps = 4 if max_pb <= 2 else 16
-    return vd.KernelConfig(
-        L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2, RING=ring,
+    if os.environ.get("LZMA_RS_TPU_VMEM_GEN") == "1":
+        return vd.KernelConfig(
+            L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2, RING=ring,
+            NPS=nps,
+        )
+    # Gen-2 (2-D lane tiles + state-in-refs, ops/vmem2_decoder.py) runs
+    # many more lanes per step at near-constant step cost: lanes fold
+    # into [L/128, 128] vreg tiles, so L scales with VMEM, not with
+    # while-carry register pressure. Larger windows scale L down to
+    # keep window + input + tables within the 100 MB VMEM budget.
+    from lzma_rs_tpu.ops import vmem2_decoder as vd2
+
+    if not env_l:
+        try:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - jax is always present
+            on_tpu = False
+        if not on_tpu:
+            # interpret-mode (CPU tests / dryruns) pays per-lane Python
+            # cost; production lane counts would take minutes per batch
+            L = 8
+        elif bucket <= 8192:
+            L = 1024
+        elif bucket <= 16384:
+            L = 512
+        elif bucket <= 32768:
+            L = 256
+        else:
+            L = 128
+    # Independent (usually smaller) input bucket: compressed payloads are
+    # ~2-5x smaller than the window, and the staged-input H2D transfer
+    # scales with W_IN (the axon tunnel moves ~25-30 MB/s, so transfer
+    # size is the end-to-end bottleneck on this host).
+    bucket_in = 2048
+    while bucket_in < need_in and bucket_in < 65536:
+        bucket_in *= 2
+    return vd2.KernelConfig2(
+        L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, UNROLL=2, RING=ring,
         NPS=nps,
     )
 
@@ -507,15 +545,28 @@ def _plans_gap_free(plans: List[DecodePlan]) -> bool:
     )
 
 
+def _decode_segments_fn(config):
+    """Kernel generation dispatch: KernelConfig2 -> gen-2 (2-D lane tiles,
+    state-in-refs), plain KernelConfig -> gen-1."""
+    from lzma_rs_tpu.ops import vmem2_decoder as vd2
+
+    if isinstance(config, vd2.KernelConfig2):
+        return vd2.decode_segments_vmem2
+    from lzma_rs_tpu.ops.vmem_decoder import decode_segments_vmem
+
+    return decode_segments_vmem
+
+
 @functools.lru_cache(maxsize=4)
-def _jitted_vmem_decoder():
+def _jitted_vmem_decoder(gen2: bool):
     import jax
 
+    from lzma_rs_tpu.ops import vmem2_decoder as vd2
     from lzma_rs_tpu.ops.vmem_decoder import decode_segments_vmem
 
     _enable_compile_cache()
     return jax.jit(
-        decode_segments_vmem,
+        vd2.decode_segments_vmem2 if gen2 else decode_segments_vmem,
         static_argnames=("config", "max_iters", "interpret"),
     )
 
@@ -548,15 +599,15 @@ def _sharded_vmem_decoder(n_dev: int, config, max_iters: int,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from lzma_rs_tpu.ops.vmem_decoder import decode_segments_vmem
     from lzma_rs_tpu.parallel.mesh import MeshConfig
 
+    decode_fn = _decode_segments_fn(config)
     _enable_compile_cache()
     mesh = MeshConfig(n_devices=n_dev).make_mesh()
     spec = P(None, "dp")
 
     def inner(*args):
-        return decode_segments_vmem(
+        return decode_fn(
             *args, config=config, max_iters=max_iters, interpret=interpret
         )
 
@@ -707,7 +758,9 @@ def _execute_plan_vmem(
         def call(*arrays):
             return sharded(*arrays)
     else:
-        fn0 = _jitted_vmem_decoder()
+        from lzma_rs_tpu.ops import vmem2_decoder as vd2
+
+        fn0 = _jitted_vmem_decoder(isinstance(cfg, vd2.KernelConfig2))
 
         def call(*arrays):
             return fn0(
@@ -765,13 +818,27 @@ def _execute_plan_vmem(
             # kernel's [W, L] layout (lanes on the minor axis: 4x fewer
             # one-hot elements from packing, no lane->sublane relayouts)
             inbuf_w = np.ascontiguousarray(inbuf).view("<i4").T
-            win_w = np.ascontiguousarray(win_init).view("<i4").T
+            if win_init.any():
+                win_dev = jnp.asarray(
+                    np.ascontiguousarray(win_init).view("<i4").T
+                )
+            else:
+                # no prefilled (stored-chunk) bytes in this batch: build
+                # the zero window ON DEVICE — skips a W*L-byte H2D
+                # transfer (the axon tunnel moves ~25-30 MB/s; transfers,
+                # not kernel time, bound end-to-end TPU decode here)
+                win_dev = jnp.zeros((cfg.W // 4, L), jnp.int32)
             win, err, outp, iters = call(
-                jnp.asarray(inbuf_w), jnp.asarray(win_w),
+                jnp.asarray(inbuf_w), win_dev,
                 jnp.asarray(in_start.T), jnp.asarray(in_end.T),
                 jnp.asarray(out_start.T), jnp.asarray(out_end.T),
                 jnp.asarray(chunk_meta.T),
             )
+            # D2H shrink: fetch only rows covering the longest segment and
+            # only the populated lanes (the final batch is mostly padding)
+            rows_used = (max(seg_lens) + 3) // 4
+            n_act = len(batch)
+            win = win[:rows_used, :n_act]
             pending_batches.append(
                 (base, batch, seg_lens, win, err, outp, iters)
             )
@@ -781,10 +848,11 @@ def _execute_plan_vmem(
             outp_np = np.asarray(outp)[0]
             if st is not None:
                 st.kernel_iters += int(np.asarray(iters)[0, 0])
+            rows_used = (max(seg_lens) + 3) // 4
             win_np = (
                 np.ascontiguousarray(np.asarray(win).T)
                 .view(np.uint8)
-                .reshape(L, cfg.W)
+                .reshape(len(batch), rows_used * 4)
             )
             for i, lane in enumerate(batch):
                 if err_np[i] == vd.ERR_RING:
