@@ -7,10 +7,13 @@ Three engines implement the same decode semantics:
 - ``tpu``: the lane-parallel JAX/Pallas runtime (bulk path; shards
   independent LZMA2 segments / .xz blocks across vector lanes and devices).
 
-``auto`` routes: bulk multi-segment streams -> TPU runtime when JAX is
-importable and the stream exposes parallelism; otherwise native if built;
-otherwise spec. All three are cross-validated bit-for-bit in the test
-suite.
+``auto`` routes per stream: when the default JAX backend is a real TPU
+and every dict-reset segment fits the VMEM kernel's static budget
+(``runtime.check_vmem_eligibility``), the stream decodes on the TPU
+runtime (engine ``tpu-vmem``); otherwise the native host engine if
+built; otherwise spec. Raw single-stream LZMA always prefers the host
+(one stream = one lane = no parallelism for the TPU to exploit). All
+engines are cross-validated bit-for-bit in the test suite.
 """
 
 from __future__ import annotations
@@ -66,13 +69,18 @@ def lzma_decode(data: bytes, options: Options) -> bytes:
 
 def lzma2_decode(data: bytes) -> bytes:
     backend = _backend()
-    if backend in ("auto", "native"):
+    if backend == "auto":
+        from lzma_rs_tpu.parallel import runtime
+
+        if _native() is not None or runtime._on_tpu():
+            return runtime.lzma2_decode(data, engine="auto")
+    elif backend == "native":
         lib = _native()
         if lib is not None:
             from lzma_rs_tpu.parallel import runtime
 
             return runtime.lzma2_decode(data, engine="native")
-    if backend == "tpu":
+    elif backend == "tpu":
         from lzma_rs_tpu.parallel import runtime
 
         return runtime.lzma2_decode(data, engine="tpu")
@@ -85,7 +93,13 @@ def xz_decode(data: bytes) -> bytes:
         from lzma_rs_tpu.parallel import runtime
 
         return runtime.xz_decode(data, engine="tpu")
-    if backend in ("auto", "native"):
+    if backend == "auto":
+        from lzma_rs_tpu.parallel import runtime
+
+        if _native() is not None or runtime._on_tpu():
+            # TPU when eligible, else block/segment-parallel host cores
+            return runtime.xz_decode(data, engine="auto")
+    elif backend == "native":
         lib = _native()
         if lib is not None:
             # segment/block-parallel across host cores via the flat decoder

@@ -1992,8 +1992,12 @@ void* lrt_stream_new(int lc, int lp, int pb, uint64_t dict_size,
 void lrt_stream_delete(void* h) { delete static_cast<LrtStream*>(h); }
 
 // Returns 0 ok, errcode otherwise. finish_mode: 0 = Partial, 1 = Finish.
+// *consumed reports how many input bytes the decoder took (stream.rs
+// write() returns input.position(): once a provided unpacked size is
+// reached, further bytes are left with the caller — the reference's
+// WriteZero condition, tests/lzma.rs:71-88).
 int lrt_stream_feed(void* h, const char* data, size_t n, int finish_mode,
-                    char* err_buf) {
+                    size_t* consumed, char* err_buf) {
   auto* s = static_cast<LrtStream*>(h);
   RangeDecoder rc{reinterpret_cast<const uint8_t*>(data), 0, n};
   rc.range = s->range;
@@ -2002,6 +2006,7 @@ int lrt_stream_feed(void* h, const char* data, size_t n, int finish_mode,
   bool ok = s->st.process_mode(s->o, rc, finish_mode == 0, e);
   s->range = rc.range;
   s->code = rc.code;
+  if (consumed) *consumed = rc.pos;
   if (!ok) {
     set_err(err_buf, e);
     return e.code;

@@ -108,6 +108,18 @@ class KernelConfig2(KernelConfig):
     L: int = 1024
     UNROLL: int = 2
 
+    def __post_init__(self):
+        super().__post_init__()
+        # Lanes fold into [L//128, 128] vreg tiles; an L that is neither
+        # a multiple of 128 nor <= 128 would produce a tile with a minor
+        # axis > 128, which Mosaic cannot lower. Fail loudly at config
+        # time (e.g. a bad LZMA_RS_TPU_VMEM_L override) instead of with
+        # an opaque compile error.
+        assert self.L % 128 == 0 or self.L <= 128, (
+            f"KernelConfig2.L={self.L}: must be a multiple of 128 "
+            "(hardware lane tiles) or <= 128 (interpret-mode tests)"
+        )
+
 
 def _fold(L: int):
     """Lane-tile shape: (S, M) with M = 128 when possible."""

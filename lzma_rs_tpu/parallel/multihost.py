@@ -135,6 +135,33 @@ def plan_waves(
     return host_waves, wave_sizes
 
 
+def stitch_waves(
+    host_waves: List[List[List[BlockSpan]]],
+    gathered_waves: List[np.ndarray],
+    n_hosts: int,
+    total_out: int,
+) -> np.ndarray:
+    """Reassemble the ordered stream from per-wave gathered buffers.
+
+    ``gathered_waves[w]`` is the wave-w all-gather result, shape
+    ``[n_hosts, wave_sizes[w]]``: each host's dense concatenation of its
+    wave-w blocks (padded with zeros to the wave size). Placement is
+    known before decode (``BlockSpan.out_base`` comes from the shared
+    block table), so stitching is pure bookkeeping — walk each wave's
+    spans in stream order, consuming each owner's dense buffer
+    sequentially."""
+    full = np.zeros(total_out, dtype=np.uint8)
+    for w, gathered in enumerate(gathered_waves):
+        for h in range(n_hosts):
+            c = 0
+            for s in host_waves[h][w]:
+                full[s.out_base : s.out_base + s.out_len] = gathered[
+                    h, c : c + s.out_len
+                ]
+                c += s.out_len
+    return full
+
+
 def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
     """Decode `.xz` with blocks sharded across JAX processes.
 
@@ -207,17 +234,7 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
         st.multihost_gather_wait_seconds += t_gather_wait
         st.multihost_waves += len(wave_sizes)
 
-    # Stitch: walk each wave's spans in stream order, consuming each
-    # owner's dense buffer sequentially.
-    full = np.zeros(total_out, dtype=np.uint8)
-    for w, gathered in enumerate(gathered_waves):
-        for h in range(n_hosts):
-            c = 0
-            for s in host_waves[h][w]:
-                full[s.out_base : s.out_base + s.out_len] = gathered[
-                    h, c : c + s.out_len
-                ]
-                c += s.out_len
+    full = stitch_waves(host_waves, gathered_waves, n_hosts, total_out)
 
     # Every host verifies checks + index + footer on the assembled result.
     for s in spans:

@@ -456,9 +456,13 @@ def choose_vmem_config(plans: List[DecodePlan]):
             max_pb = max(max_pb, max(lane.pb, default=0))
     # Window buckets up to 64 KiB: a stock `xz -6 --block-size=64KiB`
     # archive (64 MiB declared dict, but <= 64 KiB of real history per
-    # block) decodes on-device in the largest bucket.
+    # block) decodes on-device in the largest bucket. The window bucket
+    # tracks output (window) size only; input coverage is guaranteed by
+    # the separate input bucket + the packed>W_IN eligibility gate, so a
+    # poorly-compressible archive (packed > unpacked) does not inflate W
+    # and its O(W) per-step window passes.
     bucket = 2048
-    while bucket < max(need_w, need_in) and bucket < 65536:
+    while bucket < need_w and bucket < 65536:
         bucket *= 2
     nlit = 1 << min(max_lclp, 3)
     # Ring-window mode: per-step window passes drop from O(W/4) to
@@ -485,8 +489,12 @@ def choose_vmem_config(plans: List[DecodePlan]):
     # shrinking the hot probability table ~30%
     nps = 4 if max_pb <= 2 else 16
     if os.environ.get("LZMA_RS_TPU_VMEM_GEN") == "1":
+        # gen-1 shares one bucket for window and staged input
+        bucket1 = bucket
+        while bucket1 < need_in and bucket1 < 65536:
+            bucket1 *= 2
         return vd.KernelConfig(
-            L=L, W=bucket, W_IN=bucket, NLIT=nlit, UNROLL=2, RING=ring,
+            L=L, W=bucket1, W_IN=bucket1, NLIT=nlit, UNROLL=2, RING=ring,
             NPS=nps,
         )
     # Gen-2 (2-D lane tiles + state-in-refs, ops/vmem2_decoder.py) runs
@@ -625,6 +633,48 @@ def _sharded_vmem_decoder(n_dev: int, config, max_iters: int,
     )
 
 
+def check_vmem_eligibility(lanes: List[LanePlan], cfg) -> None:
+    """Raise :class:`VmemIneligible` if any lane exceeds the VMEM kernel's
+    static budget under ``cfg``. Shared by the staging path and the
+    ``auto`` engine router (which must know eligibility before committing
+    to a device launch)."""
+    import math
+
+    max_lclp = int(math.log2(cfg.NLIT))
+    for lane in lanes:
+        seg_len = lane.out_end[-1] - lane.seg_base
+        packed = sum(e - s for s, e in zip(lane.in_start, lane.in_end))
+        if seg_len > cfg.W:
+            raise VmemIneligible(
+                f"segment {seg_len} B > window bucket {cfg.W} B"
+            )
+        if packed > cfg.W_IN:
+            raise VmemIneligible(
+                f"segment packed input {packed} B > input bucket {cfg.W_IN} B"
+            )
+        if len(lane.in_start) > cfg.K:
+            raise VmemIneligible(
+                f"segment has {len(lane.in_start)} chunks > K={cfg.K}"
+            )
+        for lc, lp in zip(lane.lc, lane.lp):
+            if lc + lp > max_lclp:
+                raise VmemIneligible(
+                    f"lc+lp={lc + lp} > literal-table budget {max_lclp} "
+                    f"(NLIT={cfg.NLIT})"
+                )
+        for pb in lane.pb:
+            if (1 << pb) > cfg.NPS:
+                raise VmemIneligible(
+                    f"pb={pb} exceeds the pos-state table width NPS="
+                    f"{cfg.NPS}"
+                )
+        if cfg.RING and not _lane_gap_free(lane):
+            raise VmemIneligible(
+                "ring mode needs gap-free segments (mid-segment stored "
+                "chunks present)"
+            )
+
+
 class _RingMiss(Exception):
     """A lane hit a match distance beyond the ring (ERR_RING): retry the
     batch on the full-window kernel."""
@@ -662,15 +712,12 @@ def _execute_plan_vmem(
     config,
     interpret: Optional[bool] = None,
 ) -> bytes:
-    import math
-
     import jax
     import jax.numpy as jnp
 
     from lzma_rs_tpu.ops import vmem_decoder as vd
 
     cfg = config
-    max_lclp = int(math.log2(cfg.NLIT))
 
     total_out = sum(p.total_out for p in plans)
     lanes: List[LanePlan] = []
@@ -681,38 +728,7 @@ def _execute_plan_vmem(
 
     # Eligibility gate before any staging work. Reasons are explicit so
     # callers can record why the fast path was skipped (stats.fallbacks).
-    for lane in lanes:
-        seg_len = lane.out_end[-1] - lane.seg_base
-        packed = sum(e - s for s, e in zip(lane.in_start, lane.in_end))
-        if seg_len > cfg.W:
-            raise VmemIneligible(
-                f"segment {seg_len} B > window bucket {cfg.W} B"
-            )
-        if packed > cfg.W_IN:
-            raise VmemIneligible(
-                f"segment packed input {packed} B > input bucket {cfg.W_IN} B"
-            )
-        if len(lane.in_start) > cfg.K:
-            raise VmemIneligible(
-                f"segment has {len(lane.in_start)} chunks > K={cfg.K}"
-            )
-        for lc, lp in zip(lane.lc, lane.lp):
-            if lc + lp > max_lclp:
-                raise VmemIneligible(
-                    f"lc+lp={lc + lp} > literal-table budget {max_lclp} "
-                    f"(NLIT={cfg.NLIT})"
-                )
-        for pb in lane.pb:
-            if (1 << pb) > cfg.NPS:
-                raise VmemIneligible(
-                    f"pb={pb} exceeds the pos-state table width NPS="
-                    f"{cfg.NPS}"
-                )
-        if cfg.RING and not _lane_gap_free(lane):
-            raise VmemIneligible(
-                "ring mode needs gap-free segments (mid-segment stored "
-                "chunks present)"
-            )
+    check_vmem_eligibility(lanes, cfg)
 
     # Balance device/batch load: biggest segments first, so each batch
     # (whose wall time is its slowest lane) holds similar-size work.
@@ -771,6 +787,26 @@ def _execute_plan_vmem(
     if st is not None:
         st.devices = max(st.devices, n_dev)
 
+    # Prefill intervals (stored-chunk bytes already placed in `out`): a
+    # lane needs a window H2D transfer only if its segment overlaps one.
+    # Interval intersection beats scanning the staged L x W buffer per
+    # batch (win_init.any() read ~8 MB/batch just to skip a transfer).
+    if prefill:
+        _pre = sorted((d, d + n) for _, d, n in prefill if n > 0)
+        _pre_starts = np.array([p[0] for p in _pre], dtype=np.int64)
+        _pre_ends_cummax = np.maximum.accumulate(
+            np.array([p[1] for p in _pre], dtype=np.int64)
+        )
+    else:
+        _pre_starts = None
+
+    def _lane_prefilled(lane, seg_len: int) -> bool:
+        if _pre_starts is None:
+            return False
+        a, b = lane.seg_base, lane.seg_base + seg_len
+        idx = int(np.searchsorted(_pre_starts, b))
+        return idx > 0 and _pre_ends_cummax[idx - 1] > a
+
     L, K = cfg.L * n_dev, cfg.K
     with stats_mod.launch_timer(st):
         # Dispatch every batch before touching any result: jax dispatch
@@ -780,7 +816,7 @@ def _execute_plan_vmem(
         for base in range(0, len(lanes), L):
             batch = lanes[base : base + L]
             inbuf = np.zeros((L, cfg.W_IN), dtype=np.uint8)
-            win_init = np.zeros((L, cfg.W), dtype=np.uint8)
+            win_init = None  # allocated only if a lane carries prefill
             in_start = np.zeros((L, K), dtype=np.int32)
             in_end = np.zeros((L, K), dtype=np.int32)
             out_start = np.zeros((L, K), dtype=np.int32)
@@ -794,9 +830,12 @@ def _execute_plan_vmem(
             for i, lane in enumerate(batch):
                 seg_len = lane.out_end[-1] - lane.seg_base
                 seg_lens.append(seg_len)
-                win_init[i, :seg_len] = out[
-                    lane.seg_base : lane.seg_base + seg_len
-                ]
+                if _lane_prefilled(lane, seg_len):
+                    if win_init is None:
+                        win_init = np.zeros((L, cfg.W), dtype=np.uint8)
+                    win_init[i, :seg_len] = out[
+                        lane.seg_base : lane.seg_base + seg_len
+                    ]
                 cum = 0
                 for j in range(len(lane.in_start)):
                     s, e = lane.in_start[j], lane.in_end[j]
@@ -818,7 +857,7 @@ def _execute_plan_vmem(
             # kernel's [W, L] layout (lanes on the minor axis: 4x fewer
             # one-hot elements from packing, no lane->sublane relayouts)
             inbuf_w = np.ascontiguousarray(inbuf).view("<i4").T
-            if win_init.any():
+            if win_init is not None:
                 win_dev = jnp.asarray(
                     np.ascontiguousarray(win_init).view("<i4").T
                 )
@@ -895,6 +934,22 @@ def _host_lzma2(data: bytes) -> bytes:
     return Lzma2Decoder().decompress(ByteCursor(data))
 
 
+def _resolve_auto_engine(plans: List[DecodePlan]) -> str:
+    """The ``auto`` engine: tpu-vmem when the default backend is a real
+    TPU and every segment fits the VMEM kernel budget; the host native
+    engine otherwise. Eligibility is decided from the chunk table alone
+    (no staging), so the check is cheap relative to decode."""
+    if not _on_tpu():
+        return "native"
+    try:
+        lanes = [lane for p in plans for lane in p.lanes]
+        check_vmem_eligibility(lanes, choose_vmem_config(plans))
+    except VmemIneligible as e:
+        _record_fallback(f"auto->native: {e.reason}")
+        return "native"
+    return "tpu-vmem"
+
+
 def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
     """Parallel LZMA2 decode of a full chunk stream."""
     data = bytes(data)
@@ -903,6 +958,8 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
     except UnparallelizableStream:
         _record_fallback("host: stream carries prob state across dict reset")
         return _host_lzma2(data)
+    if engine == "auto":
+        engine = _resolve_auto_engine([plan])
     if engine == "native":
         try:
             return execute_plan_native(data, [plan])
@@ -933,6 +990,11 @@ def lzma_raw_decode_device(data: bytes, payload_off: int, params) -> bytes:
     Requires a known unpacked size (the flat output must be preallocated);
     unknown-size streams go through the host engines. ``lc+lp`` beyond the
     lane layout's 4 bits also falls back (raw LZMA allows lc<=8).
+
+    VMEM-eligible payloads (<= 64 KiB output, lc+lp <= 3) run on the fast
+    VMEM kernel; anything larger falls back to the host engine with the
+    fallback recorded — the XLA lane kernel (~0.3 MB/s/chip) is never the
+    default for raw streams.
     """
     p = params.properties
     if params.unpacked_size is None or p.lc + p.lp > 4:
@@ -950,14 +1012,38 @@ def lzma_raw_decode_device(data: bytes, payload_off: int, params) -> bytes:
         dict_size=min(params.dict_size, 0xFFFFFFFF),
     )
     plan = DecodePlan(lanes=[lane], prefill=[], total_out=total_out)
-    try:
-        return execute_plan(data, [plan])
-    except _KernelError:
-        # host replay for the exact reference error
+
+    def _host_replay() -> bytes:
+        # exact reference error strings / output via the host engines
+        from lzma_rs_tpu.native import loader
+
+        lib = loader.load()
+        if lib is not None:
+            res = lib.lzma_decode(data, payload_off, params, None)
+            if res is not None:
+                return res
         from lzma_rs_tpu.models.codecs import LzmaDecoder
 
         cursor = ByteCursor(data, payload_off)
         return LzmaDecoder(params, None).decompress(cursor)
+
+    if params.dict_size < total_out:
+        # The VMEM kernel has no dictionary-size distance cap (LZMA2 never
+        # needs one); a raw stream whose window is smaller than its output
+        # must keep the reference's "beyond dictionary size" semantics.
+        _record_fallback(
+            "raw-lzma vmem-ineligible: dict_size < unpacked size "
+            "(distance-cap semantics)"
+        )
+        return _host_replay()
+    try:
+        return execute_plan_vmem(data, [plan])
+    except VmemIneligible as e:
+        _record_fallback(f"raw-lzma vmem-ineligible: {e.reason}")
+        return _host_replay()
+    except _KernelError as e:
+        _record_fallback(f"host replay: lane error code {e.code}")
+        return _host_replay()
 
 
 def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
@@ -1038,6 +1124,9 @@ def plan_xz(data: bytes):
 def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
     plans, block_spans, header_flags, records, cursor = plan_xz(data)
     index_size = xz_fmt.check_index(cursor, records)
+
+    if engine == "auto":
+        engine = _resolve_auto_engine(plans)
 
     # Pass 2: decode all blocks in one parallel launch. The native engine
     # pipelines: each block's task decodes its segments then verifies its

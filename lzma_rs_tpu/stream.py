@@ -45,7 +45,10 @@ class _SpecEngine:
         self.code = code
         self._taken = 0
 
-    def feed(self, data: bytes, finish: bool) -> None:
+    def feed(self, data: bytes, finish: bool) -> int:
+        """Returns input bytes consumed (stream.rs write() returns
+        input.position(): once a provided unpacked size is reached the
+        decoder takes nothing more — the WriteZero condition)."""
         from lzma_rs_tpu.models.spec import RangeDecoder
 
         rc = RangeDecoder.from_parts(data, self.range, self.code)
@@ -54,6 +57,7 @@ class _SpecEngine:
         else:
             self.state.process_stream(self.output, rc)
         self.range, self.code = rc.range, rc.code
+        return rc.pos
 
     def flushed_len(self) -> int:
         return len(self.output.out)
@@ -90,7 +94,7 @@ class _NativeEngine:
         f.lrt_stream_feed.restype = ctypes.c_int
         f.lrt_stream_feed.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
         ]
         f.lrt_stream_take_output.restype = ctypes.c_int
         f.lrt_stream_take_output.argtypes = [
@@ -117,15 +121,18 @@ class _NativeEngine:
         except Exception:
             pass
 
-    def feed(self, data: bytes, finish: bool) -> None:
+    def feed(self, data: bytes, finish: bool) -> int:
         ctypes = self._ctypes
         err = ctypes.create_string_buffer(512)
+        consumed = ctypes.c_size_t()
         rc = self.lib.lrt_stream_feed(
-            self.handle, data, len(data), int(finish), err
+            self.handle, data, len(data), int(finish),
+            ctypes.byref(consumed), err,
         )
         if rc != 0:
             msg = err.value.decode("utf-8", "replace")
             raise IoError(msg) if rc == 2 else LzmaError(msg)
+        return int(consumed.value)
 
     def take_output(self) -> bytes:
         ctypes = self._ctypes
@@ -170,20 +177,22 @@ class Stream:
         else:
             self._accum += data
 
-    def _try_start(self) -> bool:
+    def _try_start(self):
         """Attempt header + range-coder init from self.tmp.
 
-        Returns True when the engine started (tmp consumed up to the
-        payload), False when more bytes are needed.
+        Returns None when more header bytes are needed; otherwise the
+        number of payload bytes the engine left unconsumed (nonzero only
+        when decode completed with input remaining — the reference's
+        WriteZero condition, stream.rs via tests/lzma.rs:71-88).
         """
         cursor = ByteCursor(bytes(self.tmp))
         try:
             params = lzma_header.read_header(cursor, self.options)
         except HeaderTooShort:
-            return False
+            return None
         # Range coder init needs 5 more bytes (stream.rs:19-21,172-183).
         if len(self.tmp) - cursor.pos < START_BYTES:
-            return False
+            return None
         cursor.skip(1)
         code = cursor.read_u32_be()
         range_ = 0xFFFFFFFF
@@ -201,33 +210,47 @@ class Stream:
             self.engine = _SpecEngine(params, self.options.memlimit, range_, code)
         rest = bytes(self.tmp[cursor.pos :])
         self.tmp.clear()
+        unconsumed = 0
         if rest:
-            self.engine.feed(rest, finish=False)
+            taken = self.engine.feed(rest, finish=False)
+            unconsumed = len(rest) - taken
             self._push_out(self.engine.take_output())
-        return True
+        return unconsumed
 
     # -- public API -------------------------------------------------------
 
     def write(self, data) -> int:
-        """Process a chunk of compressed data; returns bytes consumed."""
+        """Process a chunk of compressed data; returns bytes consumed.
+
+        Mirrors ``io::Write`` semantics (stream.rs:227-325): once a
+        provided unpacked size has been fully decoded while the stream's
+        own end marker is still unread, further input is not consumed and
+        ``write`` returns less than ``len(data)`` — eventually 0, the
+        Python analog of the reference's ``WriteZero`` error
+        (``/root/reference/tests/lzma.rs:71-88``). The stream is NOT
+        poisoned by this; ``finish()`` still succeeds.
+        """
         data = bytes(data)
         if self.poisoned:
             raise LzmaError(
                 "can't finish stream because of previous write error"
             )
+        consumed = len(data)
         try:
             if self.engine is None:
                 self.tmp += data
                 if len(self.tmp) >= 1:
-                    self._try_start()
+                    unconsumed = self._try_start()
+                    if unconsumed:
+                        consumed -= min(unconsumed, consumed)
             else:
-                self.engine.feed(data, finish=False)
+                consumed = self.engine.feed(data, finish=False)
                 self._push_out(self.engine.take_output())
         except Exception:
             self.poisoned = True
             self.engine = None
             raise
-        return len(data)
+        return consumed
 
     def get_output(self) -> Optional[bytes]:
         """Decompressed bytes finalized so far (None if poisoned)."""

@@ -75,3 +75,54 @@ def test_simulated_n_hosts_bitexact():
         )
     full = np.max(buffers, axis=0)
     assert bytes(full) == data
+
+
+def test_wave_schedule_deterministic_and_shape_consistent():
+    """plan_waves is a pure function of the shared block table: identical
+    on every host (collectives must run in the same order with the same
+    shapes), multiple waves when owned bytes exceed the wave budget, and
+    each host's waves partition its owned blocks in stream order."""
+    data = read_ref("foo.txt") * 3
+    c = lzma_rs_tpu.xz_compress(data, block_size=1 << 14, check_method=1)
+    _, spans, total_out = multihost.scan_blocks(c)
+    n_hosts = 3
+    owner = multihost.assign_blocks(spans, n_hosts)
+    wave_bytes = 64 << 10
+    hw1, ws1 = multihost.plan_waves(spans, owner, n_hosts, wave_bytes)
+    hw2, ws2 = multihost.plan_waves(spans, owner, n_hosts, wave_bytes)
+    assert hw1 == hw2 and ws1 == ws2
+    assert len(ws1) > 1
+    for h in range(n_hosts):
+        assert len(hw1[h]) == len(ws1)
+        for w, group in enumerate(hw1[h]):
+            assert sum(s.out_len for s in group) <= ws1[w]
+        flat = [s for grp in hw1[h] for s in grp]
+        assert flat == [s for s, o in zip(spans, owner) if o == h]
+
+
+def test_wave_stitch_bitexact_uneven_hosts():
+    """3 hosts, deliberately uneven ownership, >1 wave: synthetic
+    per-wave gathers (each host's dense decode buffer, zero-padded to the
+    wave size exactly as process_allgather would carry them) stitch
+    bit-exact through the production stitch_waves."""
+    data = read_ref("foo.txt") * 3
+    c = lzma_rs_tpu.xz_compress(data, block_size=1 << 14, check_method=1)
+    _, spans, total_out = multihost.scan_blocks(c)
+    n_hosts = 3
+    # host 0 owns twice the blocks of hosts 1 and 2
+    owner = [0 if i % 4 < 2 else (1 + i % 2) for i in range(len(spans))]
+    hw, ws = multihost.plan_waves(spans, owner, n_hosts, wave_bytes=48 << 10)
+    assert len(ws) > 1
+    gathered_waves = []
+    for w, size in enumerate(ws):
+        g = np.zeros((n_hosts, size), np.uint8)
+        for h in range(n_hosts):
+            off = 0
+            for s in hw[h][w]:
+                plan, _ = runtime.plan_lzma2_stream(c, s.payload_start, 0)
+                out = runtime.execute_plan_native(c, [plan])
+                g[h, off : off + s.out_len] = np.frombuffer(out, np.uint8)
+                off += s.out_len
+        gathered_waves.append(g)
+    full = multihost.stitch_waves(hw, gathered_waves, n_hosts, total_out)
+    assert bytes(full) == data

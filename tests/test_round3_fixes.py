@@ -1,0 +1,153 @@
+"""Round-3 fixes (VERDICT.md round-2 items 3 and 5; ADVICE items 1-2):
+
+- the ``auto`` engine is eligibility-aware: tpu-vmem when the default
+  backend is a TPU and the plan fits the VMEM kernel, native otherwise;
+- raw-LZMA device decode routes through the VMEM kernel (not the slow
+  XLA lane kernel), with host fallback for ineligible payloads;
+- KernelConfig2 rejects lane counts Mosaic cannot tile;
+- the gen-2 window bucket is sized from output (window) need only.
+"""
+
+import lzma as liblzma
+
+import pytest
+
+import lzma_rs_tpu
+from lzma_rs_tpu import CompressOptions, WriteUnpackedSize
+from lzma_rs_tpu.parallel import runtime
+from lzma_rs_tpu.utils import stats as stats_mod
+
+from conftest import read_ref
+
+
+def _tpu_archive(n=6000):
+    data = read_ref("foo.txt")[:n]
+    return data, lzma_rs_tpu.xz_compress(
+        data, block_size=2048, tpu_profile=True
+    )
+
+
+class TestAutoEngine:
+    def test_auto_picks_vmem_when_on_tpu_and_eligible(self, monkeypatch):
+        data, arch = _tpu_archive()
+        monkeypatch.setattr(runtime, "_on_tpu", lambda: True)
+        with stats_mod.collect() as st:
+            out = runtime.xz_decode(arch, engine="auto")
+        assert out == data
+        assert st.engine == "tpu-vmem"
+        assert not any("auto->native" in f for f in st.fallbacks)
+
+    def test_auto_picks_native_off_tpu(self, monkeypatch):
+        data, arch = _tpu_archive()
+        monkeypatch.setattr(runtime, "_on_tpu", lambda: False)
+        with stats_mod.collect() as st:
+            out = runtime.xz_decode(arch, engine="auto")
+        assert out == data
+        assert st.engine == "native"
+
+    def test_auto_falls_back_for_ineligible_plan(self, monkeypatch):
+        # lc=2, lp=2 exceeds the largest literal-table bucket (lc+lp <= 3)
+        data = read_ref("foo.txt")[:3000]
+        stream = liblzma.compress(
+            data, format=liblzma.FORMAT_RAW,
+            filters=[{"id": liblzma.FILTER_LZMA2, "preset": 6,
+                      "lc": 2, "lp": 2}],
+        )
+        monkeypatch.setattr(runtime, "_on_tpu", lambda: True)
+        with stats_mod.collect() as st:
+            out = runtime.lzma2_decode(stream, engine="auto")
+        assert out == data
+        assert st.engine == "native"
+        assert any("auto->native" in f for f in st.fallbacks), st.fallbacks
+
+    def test_public_api_auto_routes_tpu(self, monkeypatch):
+        data, arch = _tpu_archive()
+        monkeypatch.setattr(runtime, "_on_tpu", lambda: True)
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "auto")
+        with stats_mod.collect() as st:
+            out = lzma_rs_tpu.xz_decompress(arch)
+        assert out == data
+        assert st.engine == "tpu-vmem"
+
+
+class TestRawLzmaVmemRouting:
+    def test_raw_eligible_hits_vmem(self, monkeypatch):
+        data = read_ref("foo.txt")[:3000]
+        c = lzma_rs_tpu.lzma_compress_with_options(
+            data,
+            CompressOptions(
+                unpacked_size=WriteUnpackedSize.write_to_header(len(data))
+            ),
+        )
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "tpu")
+        with stats_mod.collect() as st:
+            out = lzma_rs_tpu.lzma_decompress(c)
+        assert out == data
+        assert st.engine == "tpu-vmem"
+
+    def test_raw_oversize_falls_back_to_host(self, monkeypatch):
+        # > 64 KiB output exceeds every VMEM window bucket
+        data = read_ref("foo.txt")[:100_000]
+        c = lzma_rs_tpu.lzma_compress_with_options(
+            data,
+            CompressOptions(
+                unpacked_size=WriteUnpackedSize.write_to_header(len(data))
+            ),
+        )
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "tpu")
+        with stats_mod.collect() as st:
+            out = lzma_rs_tpu.lzma_decompress(c)
+        assert out == data
+        assert any("vmem-ineligible" in f for f in st.fallbacks), st.fallbacks
+
+    def test_raw_small_dict_keeps_distance_semantics(self, monkeypatch):
+        # dict_size < unpacked size: the VMEM kernel has no dictionary
+        # distance cap, so the decode must route to a host engine that
+        # enforces the reference's "beyond dictionary size" error.
+        data = read_ref("foo.txt")[:30_000]
+        c = bytearray(
+            liblzma.compress(
+                data, format=liblzma.FORMAT_ALONE,
+                filters=[{"id": liblzma.FILTER_LZMA1, "preset": 6,
+                          "dict_size": 0x1000}],
+            )
+        )
+        # liblzma's ALONE writer always declares "unknown size"; pin the
+        # real size so the device path (which needs a known size) is taken
+        c[5:13] = len(data).to_bytes(8, "little")
+        c = bytes(c)
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "tpu")
+        with stats_mod.collect() as st:
+            out = lzma_rs_tpu.lzma_decompress(c)
+        assert out == data
+        assert any("distance-cap" in f for f in st.fallbacks), st.fallbacks
+
+
+class TestConfigValidation:
+    def test_bad_lane_count_rejected(self):
+        from lzma_rs_tpu.ops.vmem2_decoder import KernelConfig2
+
+        with pytest.raises(AssertionError, match="multiple of 128"):
+            KernelConfig2(L=192, W=4096, W_IN=4096, NLIT=1, NPS=4)
+
+    def test_small_and_aligned_lane_counts_ok(self):
+        from lzma_rs_tpu.ops.vmem2_decoder import KernelConfig2
+
+        KernelConfig2(L=8, W=4096, W_IN=4096, NLIT=1, NPS=4)
+        KernelConfig2(L=1024, W=4096, W_IN=4096, NLIT=1, NPS=4)
+
+
+class TestWindowBucketDecoupling:
+    def test_incompressible_input_does_not_inflate_window(self):
+        # Packed input (3000 B) larger than the segment output (1500 B):
+        # W_IN must grow to cover the input but the window bucket must
+        # track output need only (O(W) per-step window passes).
+        lane = runtime.LanePlan(
+            in_start=[0], in_end=[3000], out_start=[0], out_end=[1500],
+            reset_state=[1], lc=[0], lp=[0], pb=[2],
+            seg_base=0, size_known=1, dict_size=0xFFFFFFFF,
+        )
+        plan = runtime.DecodePlan(lanes=[lane], prefill=[], total_out=1500)
+        cfg = runtime.choose_vmem_config([plan])
+        assert cfg.W == 2048
+        assert cfg.W_IN == 4096

@@ -152,3 +152,51 @@ def test_stream_spec_engine_parity(monkeypatch):
             stream.write(compressed[consumed:end])
             consumed = end
         assert stream.finish() == data
+
+
+class TestWriteZeroEdge:
+    """The reference's WriteZero edge (tests/lzma.rs:71-88): size encoded
+    as unknown (EOS marker present) but provided at decode time — the
+    decoder stops at the provided size with the marker unread, so write()
+    stops consuming input instead of erroring, and finish() succeeds."""
+
+    def _compressed_unknown_size(self, payload):
+        from lzma_rs_tpu import CompressOptions, WriteUnpackedSize
+
+        return lzma_rs_tpu.lzma_compress_with_options(
+            payload,
+            CompressOptions(
+                unpacked_size=WriteUnpackedSize.write_to_header(None)
+            ),
+        )
+
+    @pytest.mark.parametrize("use_spec", [False, True])
+    def test_partial_consume_then_zero(self, monkeypatch, use_spec):
+        if use_spec:
+            from lzma_rs_tpu.native import loader
+
+            monkeypatch.setattr(loader, "load", lambda: None)
+        from lzma_rs_tpu import UnpackedSize
+
+        payload = read_ref("foo.txt")[:5000]
+        c = self._compressed_unknown_size(payload)
+        opts = Options(
+            unpacked_size=UnpackedSize.read_header_but_use_provided(
+                len(payload)
+            )
+        )
+        stream = Stream(options=opts)
+        consumed = stream.write(c)
+        # the 5-6 byte EOS marker must be left unread
+        assert consumed < len(c)
+        # a retry with the remainder consumes nothing (WriteZero analog)
+        assert stream.write(c[consumed:]) == 0
+        # ...and does NOT poison the stream
+        assert stream.finish() == payload
+
+    def test_fully_consumed_when_size_read_from_header(self):
+        payload = read_ref("foo.txt")[:5000]
+        c = self._compressed_unknown_size(payload)
+        stream = Stream()
+        assert stream.write(c) == len(c)
+        assert stream.finish() == payload
