@@ -42,6 +42,7 @@ def _sniff(data: bytes) -> str:
 
 
 def main(argv=None):
+    """CLI entry point: compress/decompress lzma/lzma2/xz streams."""
     ap = argparse.ArgumentParser(prog="lzma_rs_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -41,6 +41,7 @@ def _native():
 
 
 def lzma_decode(data: bytes, options: Options) -> bytes:
+    """Raw-LZMA decode via the selected backend (LZMA_RS_TPU_BACKEND)."""
     cursor = ByteCursor(data)
     params = read_header(cursor, options)
     backend = _backend()
@@ -68,6 +69,7 @@ def lzma_decode(data: bytes, options: Options) -> bytes:
 
 
 def lzma2_decode(data: bytes) -> bytes:
+    """LZMA2 chunk-stream decode via the selected backend."""
     backend = _backend()
     if backend == "auto":
         from lzma_rs_tpu.parallel import runtime
@@ -88,6 +90,7 @@ def lzma2_decode(data: bytes) -> bytes:
 
 
 def xz_decode(data: bytes) -> bytes:
+    """.xz container decode via the selected backend."""
     backend = _backend()
     if backend == "tpu":
         from lzma_rs_tpu.parallel import runtime

@@ -26,6 +26,7 @@ DICT_SIZE = 0x0080_0000
 
 
 def lzma_compress(data: bytes, options: CompressOptions | None = None) -> bytes:
+    """Encode raw LZMA: 13-byte header + range-coded payload (lib.rs:64-79)."""
     options = options or CompressOptions()
     mode = options.unpacked_size
 

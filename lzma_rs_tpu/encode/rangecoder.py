@@ -17,6 +17,10 @@ from lzma_rs_tpu.models.state import LEN_CHOICE, LEN_CHOICE2, LEN_HIGH, LEN_LOW,
 
 
 class RangeEncoder:
+    """Carry-propagating binary range encoder (encode/rangecoder.rs:7-144):
+    low:u64/cache/cachesz writer, adaptive 11-bit probabilities, 5-byte
+    flush on finish()."""
+
     __slots__ = ("out", "range", "low", "cache", "cachesz")
 
     def __init__(self) -> None:
@@ -94,4 +98,5 @@ class RangeEncoder:
 
 
 def fresh_probs(n: int) -> np.ndarray:
+    """n probabilities at the neutral initial value 0x400."""
     return np.full(n, 0x400, dtype=np.uint16)

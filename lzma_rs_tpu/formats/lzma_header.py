@@ -34,6 +34,7 @@ class LzmaProperties:
     pb: int  # 0..=4
 
     def validate(self) -> None:
+        """Reject lc+lp+pb > 10 or lc > 8 (lzma.rs:113-118 properties split)."""
         assert 0 <= self.lc <= 8
         assert 0 <= self.lp <= 4
         assert 0 <= self.pb <= 4

@@ -45,6 +45,7 @@ FILTER_LZMA2 = 0x21
 
 
 def parse_check_method(id_: int) -> int:
+    """Map a check id to CheckMethod, rejecting unknown ids (xz/mod.rs:55-73)."""
     if id_ not in _VALID_CHECKS:
         raise XzError(
             f"Invalid check method {id_:x}, expected one of [0x00, 0x01, 0x04, 0x0A]"
@@ -234,6 +235,7 @@ def read_block_header_at(cursor: ByteCursor) -> Optional[BlockInfo]:
 
 
 def check_size(check_method: int) -> int:
+    """Stored size in bytes of a block check field (None=0, CRC32=4, CRC64=8, SHA-256=32)."""
     return {CHECK_NONE: 0, CHECK_CRC32: 4, CHECK_CRC64: 8, CHECK_SHA256: 32}[
         check_method
     ]
@@ -281,6 +283,7 @@ def padding_size(count: int) -> int:
 
 
 def read_padding(cursor: ByteCursor, n: int, what: str) -> bytes:
+    """Consume n alignment bytes, requiring zeros (decode/xz.rs:264-279)."""
     pad = bytes(cursor.read_exact(n))
     if any(pad):
         raise XzError(f"Invalid {what} padding, must be null bytes")
@@ -368,6 +371,7 @@ def check_footer(cursor: ByteCursor, header_flags: StreamFlags, index_size: int)
 
 
 def write_stream_header(writer: ByteWriter, flags: StreamFlags) -> None:
+    """Emit magic + stream flags + CRC32 (encode/xz.rs:31-44)."""
     writer.write(XZ_MAGIC)
     ser = flags.serialize()
     writer.write(ser)
@@ -437,6 +441,7 @@ def write_index(writer: ByteWriter, records: List[Record]) -> int:
 
 
 def write_footer(writer: ByteWriter, flags: StreamFlags, index_size: int) -> None:
+    """Emit CRC32(backward_size+flags) + backward_size + flags + YZ magic (encode/xz.rs:46-65)."""
     backward_size = (index_size >> 2) - 1
     body = backward_size.to_bytes(4, "little") + flags.serialize()
     writer.write_u32_le(crc32(body))

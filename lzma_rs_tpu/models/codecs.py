@@ -43,6 +43,8 @@ class LzmaDecoder:
         self.state = DecoderState(params.properties, params.unpacked_size)
 
     def reset(self, unpacked_size=KEEP_UNPACKED_SIZE) -> None:
+        """Reuse allocations for a fresh stream; optionally override the
+        expected unpacked size (lzma.rs:624-631 reset(Option<Option<u64>>))."""
         """Reset to a freshly-initialized state (decode/lzma.rs:625-631).
 
         ``unpacked_size`` mirrors the reference's ``Option<Option<u64>>``:
@@ -56,6 +58,7 @@ class LzmaDecoder:
             self.state.set_unpacked_size(unpacked_size)
 
     def decompress(self, cursor: ByteCursor) -> bytes:
+        """Decode one raw-LZMA payload to completion (lzma.rs:635-648)."""
         output = CircularBuffer(self.params.dict_size, self.memlimit)
         try:
             rc = RangeDecoder.new(cursor.buf, pos=cursor.pos)
@@ -73,9 +76,11 @@ class Lzma2Decoder:
         self.state = DecoderState(LzmaProperties(0, 0, 0), None)
 
     def reset(self) -> None:
+        """Fresh LZMA2 chunk-stream state (lzma2.rs:41-48)."""
         self.state.reset_state(LzmaProperties(0, 0, 0))
 
     def decompress(self, cursor: ByteCursor) -> bytes:
+        """Decode an LZMA2 chunk stream to its terminator (lzma2.rs:59-78)."""
         accum = AccumBuffer()
         while True:
             try:

@@ -42,6 +42,7 @@ from lzma_rs_tpu.models.state import (
     make_layout,
 )
 from lzma_rs_tpu.utils.errors import IoError, LzmaError, UNEXPECTED_EOF
+from lzma_rs_tpu.utils import logging as _log
 from lzma_rs_tpu.formats.lzma_header import LzmaProperties
 
 MAX_REQUIRED_INPUT = 20  # lzma.rs:13
@@ -104,9 +105,15 @@ class RangeDecoder:
         return b
 
     def normalize(self) -> None:
+        if _log.LOG_ENABLED:
+            _log.trace("  { range: %08x, code: %08x }", self.range, self.code)
         if self.range < 0x0100_0000:
             self.range = (self.range << 8) & 0xFFFFFFFF
             self.code = ((self.code << 8) ^ self._read_u8()) & 0xFFFFFFFF
+            if _log.LOG_ENABLED:
+                _log.debug(
+                    "+ { range: %08x, code: %08x }", self.range, self.code
+                )
 
     def get_bit(self) -> int:
         self.range >>= 1
@@ -125,6 +132,14 @@ class RangeDecoder:
     def decode_bit(self, probs: np.ndarray, idx: int, update: bool) -> int:
         prob = int(probs[idx])
         bound = (self.range >> 11) * prob
+        if _log.LOG_ENABLED:
+            # per-bit trace, matching rangecoder.rs:96-101 — the debugging
+            # affordance lives only on the interpret-mode/spec path
+            # (SURVEY.md §5: kernels never log)
+            _log.trace(
+                " bound: %08x, prob: %04x, bit: %d",
+                bound, prob, int(self.code > bound),
+            )
         if self.code < bound:
             if update:
                 probs[idx] = prob + ((0x800 - prob) >> 5)

@@ -117,6 +117,8 @@ LAYOUT_LCLP4 = make_layout(4)
 
 
 def fresh_probs(layout: ProbLayout) -> np.ndarray:
+    """Flat u16 probability table, all entries at the 0x400 neutral init
+    (rangecoder.rs:176)."""
     return np.full(layout.total, PROB_INIT, dtype=np.uint16)
 
 

@@ -106,6 +106,7 @@ ERR_RING = 8
 
 
 def hot_layout(nps: int) -> dict:
+    """Offsets of each probability group in the packed hot table (nps = pos-state width); mirrors models/state.py's flat layout minus the literal block."""
     o = {}
     pos = 0
 

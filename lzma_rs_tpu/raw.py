@@ -36,12 +36,14 @@ class LzmaDecoder:
         return self._inner.params
 
     def reset(self, unpacked_size=KEEP_UNPACKED_SIZE) -> None:
+        """Reset decoder state, optionally overriding the expected size."""
         """Mirror of the reference's ``reset(Option<Option<u64>>)``
         (decode/lzma.rs:624-631): default keeps the current unpacked
         size, ``None`` marks it unknown, an int replaces it."""
         self._inner.reset(unpacked_size)
 
     def decompress(self, data) -> bytes:
+        """Decode one raw-LZMA payload with this decoder's parameters."""
         """Decompress a raw LZMA payload (no 13-byte header)."""
         from lzma_rs_tpu.native import loader
 
@@ -59,9 +61,11 @@ class Lzma2Decoder:
         self._inner = _SpecLzma2Decoder()
 
     def reset(self) -> None:
+        """Fresh LZMA2 state (mirrors decompress::raw::Lzma2Decoder::reset)."""
         self._inner.reset()
 
     def decompress(self, data) -> bytes:
+        """Decode an LZMA2 chunk stream to its terminator."""
         from lzma_rs_tpu.native import loader
 
         lib = loader.load()

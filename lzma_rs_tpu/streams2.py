@@ -179,6 +179,8 @@ class Lzma2Stream:
             self._push_out(self.engine.take())
 
     def write(self, data) -> int:
+        """Feed compressed bytes; complete chunks/blocks decode eagerly.
+        Returns len(data) (framing is buffered, never rejected early)."""
         data = bytes(data)
         if self.poisoned:
             raise LzmaError(
@@ -193,11 +195,13 @@ class Lzma2Stream:
         return len(data)
 
     def get_output(self) -> Optional[bytes]:
+        """Bytes decoded so far (None when poisoned or sink-attached)."""
         if self.poisoned or self.sink is not None:
             return None
         return bytes(self._accum)
 
     def finish(self) -> bytes:
+        """Validate the LZMA2 terminator and return all decoded bytes."""
         if self.poisoned:
             raise LzmaError(
                 "can't finish stream because of previous write error"
@@ -441,6 +445,8 @@ class XzStream:
     # -- public API -----------------------------------------------------------
 
     def write(self, data) -> int:
+        """Feed compressed bytes; complete chunks/blocks decode eagerly.
+        Returns len(data) (framing is buffered, never rejected early)."""
         data = bytes(data)
         if self.poisoned:
             raise XzError(
@@ -455,11 +461,13 @@ class XzStream:
         return len(data)
 
     def get_output(self) -> Optional[bytes]:
+        """Bytes decoded so far (None when poisoned or sink-attached)."""
         if self.poisoned or self.sink is not None:
             return None
         return bytes(self._accum)
 
     def finish(self) -> bytes:
+        """Require footer-complete state and return all decoded bytes."""
         if self.poisoned:
             raise XzError(
                 "can't finish stream because of previous write error"

@@ -1,0 +1,1 @@
+"""Infrastructure layer (SURVEY.md L0): errors, logging, cursors, CRC, options, stats."""

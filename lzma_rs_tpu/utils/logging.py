@@ -25,15 +25,18 @@ if LOG_ENABLED:
 
 
 def info(fmt: str, *args) -> None:
+    """lzma_info! analog (macros.rs:31-41): logged only when enabled."""
     if LOG_ENABLED:
         logger.info(fmt, *args)
 
 
 def debug(fmt: str, *args) -> None:
+    """lzma_debug! analog (macros.rs:16-26)."""
     if LOG_ENABLED:
         logger.debug(fmt, *args)
 
 
 def trace(fmt: str, *args) -> None:
+    """lzma_trace! analog (macros.rs:1-11): per-bit decode tracing."""
     if LOG_ENABLED:
         logger.debug(fmt, *args)

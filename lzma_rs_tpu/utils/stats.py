@@ -60,6 +60,7 @@ class DecodeStats:
     fallbacks: List[str] = dataclasses.field(default_factory=list)
 
     def to_dict(self) -> dict:
+        """Serialize counters (adds derived throughput_mb_s when timed)."""
         d = dataclasses.asdict(self)
         if self.launch_seconds > 0 and self.unpacked_bytes:
             d["throughput_mb_s"] = round(
@@ -69,12 +70,14 @@ class DecodeStats:
 
 
 def enabled() -> bool:
+    """True when a stats collection is active (or LZMA_RS_TPU_STATS set)."""
     return getattr(_tls, "active", None) is not None or bool(
         os.environ.get("LZMA_RS_TPU_STATS")
     )
 
 
 def current() -> Optional[DecodeStats]:
+    """The thread's active DecodeStats, or None when not collecting."""
     s = getattr(_tls, "active", None)
     if s is None and os.environ.get("LZMA_RS_TPU_STATS"):
         s = _tls.active = DecodeStats()
@@ -95,6 +98,7 @@ def collect():
 
 @contextlib.contextmanager
 def launch_timer(stats_obj: Optional[DecodeStats]):
+    """Context manager accumulating wall time into launch_seconds."""
     if stats_obj is None:
         yield
         return

@@ -1,0 +1,55 @@
+"""Per-level compression-ratio pins (VERDICT round-2 item 7).
+
+The reference's encoder floor is trivial (literal-only LZMA, stored-chunk
+LZMA2: /root/reference/src/encode/dumbencoder.rs, encode/lzma2.rs:4-26);
+the native match-finding encoder is this framework's superset track, so
+its ratio is pinned against liblzma presets on a fixed corpus — any
+>1% regression vs the recorded baseline fails.
+
+Pins record ours/liblzma compressed-size ratios measured on this corpus
+(see git history for the trajectory). Lower is better; the pin is the
+measured value + ~1% headroom.
+"""
+
+import lzma as liblzma
+
+import pytest
+
+import lzma_rs_tpu
+
+from conftest import read_ref
+
+# (file, level) -> max allowed ours/liblzma size ratio.
+# Baseline r3: foo.txt {1: 0.995, 6: 1.065, 9: 1.042},
+#              range-coder-edge-case {1: 1.032, 6: 1.169, 9: 1.137}.
+RATIO_PINS = {
+    ("foo.txt", 1): 1.005,
+    ("foo.txt", 6): 1.076,
+    ("foo.txt", 9): 1.052,
+    ("range-coder-edge-case", 1): 1.042,
+    ("range-coder-edge-case", 6): 1.181,
+    ("range-coder-edge-case", 9): 1.148,
+}
+
+
+@pytest.mark.parametrize("name,level", sorted(RATIO_PINS))
+def test_ratio_pinned_vs_liblzma(name, level):
+    data = read_ref(name)
+    ours = lzma_rs_tpu.xz_compress(data, level=level)
+    theirs = liblzma.compress(data, preset=level)
+    ratio = len(ours) / len(theirs)
+    assert ratio <= RATIO_PINS[(name, level)], (
+        f"{name} level {level}: ours {len(ours)} vs liblzma {len(theirs)} "
+        f"-> ratio {ratio:.4f} exceeds pin {RATIO_PINS[(name, level)]}"
+    )
+    # the archive must remain decodable by liblzma (interop oracle)
+    assert liblzma.decompress(ours) == data
+
+
+def test_levels_monotone_on_text():
+    """Higher levels never compress worse on the text corpus."""
+    data = read_ref("foo.txt")
+    sizes = [
+        len(lzma_rs_tpu.xz_compress(data, level=lvl)) for lvl in (1, 6, 9)
+    ]
+    assert sizes[0] >= sizes[1] >= sizes[2], sizes

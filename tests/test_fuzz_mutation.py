@@ -15,8 +15,11 @@ Found-divergence ledger: docs/FUZZ_LEDGER.md. Deterministic seeds; the
 slow tier runs thousands of cases, the default tier a smoke subset.
 """
 
+import hashlib
 import lzma as liblzma
+import os
 import random
+import time
 
 import pytest
 
@@ -33,26 +36,77 @@ from conftest import read_ref
 ALLOWED_XZ_DIVERGENCES = ()
 
 
-def _mutations(rng: random.Random, data: bytes, n: int):
-    """Yield n mutated variants of data (deterministic)."""
+def _mutate_once(rng: random.Random, b: bytearray) -> None:
+    if not b:
+        return
+    kind = rng.randrange(5)
+    pos = rng.randrange(len(b))
+    if kind == 0:  # bit flip
+        b[pos] ^= 1 << rng.randrange(8)
+    elif kind == 1:  # byte set
+        b[pos] = rng.randrange(256)
+    elif kind == 2:  # truncate
+        del b[pos:]
+    elif kind == 3:  # insert
+        b[pos:pos] = bytes([rng.randrange(256)])
+    else:  # delete
+        del b[pos]
+
+
+def _mutations(rng: random.Random, data: bytes, n: int, stacked: bool = False):
+    """Yield n mutated variants of data (deterministic given rng).
+
+    ``stacked`` applies 1-4 mutations per case (deeper tier): single
+    mutations mostly probe header/CRC validation, stacks reach decode
+    states that one flip cannot."""
     for _ in range(n):
-        kind = rng.randrange(5)
         b = bytearray(data)
-        if not b:
-            yield bytes(b)
-            continue
-        pos = rng.randrange(len(b))
-        if kind == 0:  # bit flip
-            b[pos] ^= 1 << rng.randrange(8)
-        elif kind == 1:  # byte set
-            b[pos] = rng.randrange(256)
-        elif kind == 2:  # truncate
-            del b[pos:]
-        elif kind == 3:  # insert
-            b[pos:pos] = bytes([rng.randrange(256)])
-        else:  # delete
-            del b[pos]
+        for _ in range(rng.randrange(1, 5) if stacked else 1):
+            _mutate_once(rng, b)
         yield bytes(b)
+
+
+def _splices(rng: random.Random, seeds, n: int):
+    """Cross-seed splices: prefix of one archive + suffix of another — the
+    classic libFuzzer crossover, good at confusing framing/index logic."""
+    for _ in range(n):
+        a, b = rng.choice(seeds), rng.choice(seeds)
+        if not a or not b:
+            continue
+        cut_a = rng.randrange(len(a))
+        cut_b = rng.randrange(len(b))
+        yield a[:cut_a] + b[cut_b:]
+
+
+# Accumulated regression corpus: every case that ever produced a
+# divergence (before triage) is saved here and replayed as extra seeds on
+# later runs, libFuzzer-corpus style.
+FUZZ_CORPUS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench", "fuzz",
+)
+
+
+def _corpus_cases():
+    try:
+        names = sorted(os.listdir(FUZZ_CORPUS_DIR))
+    except OSError:
+        return []
+    out = []
+    for nm in names:
+        if nm.endswith(".bin"):
+            with open(os.path.join(FUZZ_CORPUS_DIR, nm), "rb") as f:
+                out.append(f.read())
+    return out
+
+
+def _save_to_corpus(case: bytes, tag: str) -> str:
+    os.makedirs(FUZZ_CORPUS_DIR, exist_ok=True)
+    h = hashlib.sha256(case).hexdigest()[:16]
+    path = os.path.join(FUZZ_CORPUS_DIR, f"{tag}-{h}.bin")
+    with open(path, "wb") as f:
+        f.write(case)
+    return path
 
 
 def _ours_xz(data: bytes):
@@ -127,14 +181,16 @@ def _xz_seed_cases():
     return seeds
 
 
-def _run_xz_mutations(cases_per_seed: int):
-    rng = random.Random(0xF00D)
+def _run_xz_mutations(cases_per_seed: int, rng=None, save=False,
+                      stacked=False):
+    rng = rng or random.Random(0xF00D)
     failures = []
     for si, seed in enumerate(_xz_seed_cases()):
-        for case in _mutations(rng, seed, cases_per_seed):
+        for case in _mutations(rng, seed, cases_per_seed, stacked=stacked):
             why = _xz_agree(case)
             if why and why not in ALLOWED_XZ_DIVERGENCES:
-                failures.append(f"seed {si}: {why}")
+                loc = _save_to_corpus(case, "xz") if save else f"seed {si}"
+                failures.append(f"{loc}: {why}")
                 if len(failures) > 5:
                     return failures
     return failures
@@ -161,8 +217,8 @@ def _native_vs_spec_lzma2(case: bytes) -> str:
     return ""
 
 
-def _run_lzma2_mutations(cases_per_seed: int):
-    rng = random.Random(0xBEEF)
+def _run_lzma2_mutations(cases_per_seed: int, rng=None):
+    rng = rng or random.Random(0xBEEF)
     text = read_ref("foo.txt")[:8000]
     seeds = [
         lzma_rs_tpu.lzma2_compress(text, level=6),
@@ -191,6 +247,20 @@ class TestMutationSmoke:
         assert not failures, failures
 
 
+class TestCorpusReplay:
+    def test_accumulated_corpus_still_agrees(self):
+        """Replay every saved divergence case (regression corpus) through
+        the differential check — the nightly tier's findings must stay
+        triaged (either fixed or ledgered in ALLOWED_XZ_DIVERGENCES)."""
+        cases = _corpus_cases()
+        failures = []
+        for case in cases:
+            why = _xz_agree(case)
+            if why and why not in ALLOWED_XZ_DIVERGENCES:
+                failures.append(why)
+        assert not failures, failures
+
+
 @pytest.mark.slow
 class TestMutationDeep:
     def test_xz_differential_deep(self):
@@ -200,3 +270,54 @@ class TestMutationDeep:
     def test_lzma2_native_vs_spec_deep(self):
         failures = _run_lzma2_mutations(cases_per_seed=150)
         assert not failures, failures
+
+
+@pytest.mark.slow
+class TestMutationNightly:
+    """Time-budgeted randomized tier (nightly: LZMA_RS_TPU_FUZZ_MINUTES,
+    default 3). Unlike the deterministic smoke/deep tiers, the RNG seed is
+    drawn fresh per run (printed for reproduction), mutations stack, and
+    cross-seed splices are mixed in. Divergent cases are written to
+    .bench/fuzz/ so they replay as regression seeds in every future run
+    (TestCorpusReplay)."""
+
+    def test_xz_differential_nightly(self, capsys):
+        minutes = float(os.environ.get("LZMA_RS_TPU_FUZZ_MINUTES", "3"))
+        seed = int(os.environ.get(
+            "LZMA_RS_TPU_FUZZ_SEED", str(random.SystemRandom().randrange(1 << 48))
+        ))
+        print(f"nightly fuzz seed: {seed} (LZMA_RS_TPU_FUZZ_SEED to repro)")
+        rng = random.Random(seed)
+        deadline = time.monotonic() + minutes * 60
+        seeds = _xz_seed_cases() + _corpus_cases()
+        failures = []
+        rounds = cases = 0
+        while time.monotonic() < deadline and len(failures) <= 5:
+            rounds += 1
+            for si, s in enumerate(seeds):
+                for case in _mutations(rng, s, 40, stacked=True):
+                    cases += 1
+                    why = _xz_agree(case)
+                    if why and why not in ALLOWED_XZ_DIVERGENCES:
+                        failures.append(f"{_save_to_corpus(case, 'xz')}: {why}")
+                if time.monotonic() >= deadline:
+                    break
+            for case in _splices(rng, seeds, 40):
+                cases += 1
+                why = _xz_agree(case)
+                if why and why not in ALLOWED_XZ_DIVERGENCES:
+                    failures.append(f"{_save_to_corpus(case, 'xz')}: {why}")
+        print(f"nightly fuzz: {cases} cases in {rounds} rounds")
+        assert not failures, (
+            f"seed {seed}: divergences saved to corpus: {failures}"
+        )
+
+    def test_lzma2_native_vs_spec_nightly(self):
+        minutes = float(os.environ.get("LZMA_RS_TPU_FUZZ_MINUTES", "3")) / 3
+        seed = random.SystemRandom().randrange(1 << 48)
+        rng = random.Random(seed)
+        deadline = time.monotonic() + minutes * 60
+        failures = []
+        while time.monotonic() < deadline and not failures:
+            failures = _run_lzma2_mutations(cases_per_seed=50, rng=rng)
+        assert not failures, f"seed {seed}: {failures}"
