@@ -81,6 +81,101 @@ def time_best(fn, reps=3):
     return best
 
 
+CORPUS_TPU_XZ = os.path.join(BENCH_DIR, "corpus_tpu.xz")
+TPU_MB = int(os.environ.get("LZMA_RS_TPU_BENCH_TPU_MB", "16"))
+
+
+def bench_tpu(expected: bytes) -> dict:
+    """The TPU lane (VERDICT r2 item 2): encode a tpu_profile slice of the
+    corpus, decode it on the real chip via the VMEM kernel, and report
+    BOTH end-to-end MB/s (includes H2D/D2H — transfer-bound on the axon
+    tunnel, docs/DESIGN.md) and chained device-resident MB/s/chip (the
+    kernel's own speed, the GB/s/chip north-star metric's numerator)."""
+    import lzma_rs_tpu
+    from lzma_rs_tpu.parallel import devbench, runtime
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    data = expected[: TPU_MB * 1_000_000]
+    if os.path.exists(CORPUS_TPU_XZ):
+        cx = open(CORPUS_TPU_XZ, "rb").read()
+    else:
+        cx = lzma_rs_tpu.xz_compress(data, tpu_profile=True, check_method=1)
+        with open(CORPUS_TPU_XZ, "wb") as f:
+            f.write(cx)
+    log(f"tpu corpus: {len(data) / 1e6:.1f} MB -> {len(cx) / 1e6:.1f} MB "
+        f"(tpu_profile)")
+
+    # correctness + fallback gate, then end-to-end timing
+    with stats_mod.collect() as st:
+        out = runtime.xz_decode(cx, engine="tpu-vmem")
+    assert out == data, "TPU decode not bit-exact — refusing to benchmark"
+    if st.fallbacks:
+        log(f"tpu lane fell back ({st.fallbacks}); reporting nulls")
+        return {}
+    e2e = time_best(lambda: runtime.xz_decode(cx, engine="tpu-vmem"), reps=2)
+    e2e_mbs = len(data) / 1e6 / e2e
+    log(f"tpu e2e (engine=tpu-vmem, incl. transfers): {e2e_mbs:.1f} MB/s "
+        f"({e2e:.2f}s)")
+
+    dev = devbench.device_throughput(cx, verify=data)
+    log(f"tpu device-resident (chained): {dev['mb_s']:.1f} MB/s/chip  "
+        f"{dev['us_per_step']:.2f} us/step  L={dev['lanes']}")
+    out = {
+        "tpu_e2e_mb_s": round(e2e_mbs, 1),
+        "tpu_device_mb_s": round(dev["mb_s"], 1),
+        "tpu_us_per_step": round(dev["us_per_step"], 3),
+        "tpu_corpus_mb": round(len(data) / 1e6, 1),
+    }
+    out.update(bench_tpu_stock64k(expected))
+    return out
+
+
+CORPUS_64K = os.path.join(BENCH_DIR, "corpus_64k.bin")
+CORPUS_64K_XZ = os.path.join(BENCH_DIR, "corpus_64k.xz")
+
+
+def bench_tpu_stock64k(expected: bytes) -> dict:
+    """Foreign-archive device lane: a stock `xz -6 --block-size=64KiB`
+    archive (liblzma encoder, lc=3 literal tables, full 64 KiB windows)
+    decoded by the VMEM kernel — the widest eligibility shape
+    (docs/DESIGN.md round-3: coarse 1 MiB blocks cap lane parallelism at
+    #blocks and stay a host workload)."""
+    from lzma_rs_tpu.parallel import devbench, runtime
+    from lzma_rs_tpu.utils import stats as stats_mod
+
+    data = expected[: TPU_MB * 1_000_000]
+    if not os.path.exists(CORPUS_64K_XZ):
+        with open(CORPUS_64K, "wb") as f:
+            f.write(data)
+        subprocess.run(
+            ["xz", "-6", "-T1", "--block-size=65536", "-k", "-f",
+             CORPUS_64K],
+            check=True,
+        )
+        os.replace(CORPUS_64K + ".xz", CORPUS_64K_XZ)
+        os.remove(CORPUS_64K)
+    cx = open(CORPUS_64K_XZ, "rb").read()
+    log(f"stock 64k corpus: {len(data) / 1e6:.1f} MB -> "
+        f"{len(cx) / 1e6:.1f} MB (xz -6 --block-size=64KiB)")
+    with stats_mod.collect() as st:
+        out = runtime.xz_decode(cx, engine="tpu-vmem")
+    assert out == data, "stock-64k TPU decode not bit-exact"
+    if st.fallbacks:
+        log(f"stock-64k lane fell back ({st.fallbacks}); reporting nulls")
+        return {}
+    e2e = time_best(lambda: runtime.xz_decode(cx, engine="tpu-vmem"),
+                    reps=2)
+    e2e_mbs = len(data) / 1e6 / e2e
+    log(f"stock-64k tpu e2e: {e2e_mbs:.1f} MB/s ({e2e:.2f}s)")
+    dev = devbench.device_throughput(cx, verify=data)
+    log(f"stock-64k tpu device-resident: {dev['mb_s']:.1f} MB/s/chip  "
+        f"{dev['us_per_step']:.2f} us/step  L={dev['lanes']}")
+    return {
+        "tpu_stock64k_e2e_mb_s": round(e2e_mbs, 1),
+        "tpu_stock64k_device_mb_s": round(dev["mb_s"], 1),
+    }
+
+
 def main() -> None:
     build_corpus()
     expected = open(CORPUS, "rb").read()
@@ -108,6 +203,22 @@ def main() -> None:
     base_mbs = n_mb / base
     log(f"baseline xz -dc -T1 (liblzma): {base_mbs:.1f} MB/s ({base:.2f}s)")
 
+    # TPU lane: runs only on a real chip; reports device-resident and
+    # end-to-end throughput alongside the host number (VERDICT r2 #2).
+    tpu = {}
+    if os.environ.get("LZMA_RS_TPU_BENCH_TPU", "1") != "0":
+        try:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            try:
+                tpu = bench_tpu(expected)
+            except Exception as e:  # never lose the host number
+                log(f"tpu lane failed: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
@@ -115,6 +226,8 @@ def main() -> None:
                 "value": round(ours_mbs, 1),
                 "unit": "MB/s",
                 "vs_baseline": round(ours_mbs / base_mbs, 3),
+                "host_mb_s": round(ours_mbs, 1),
+                **tpu,
             }
         )
     )

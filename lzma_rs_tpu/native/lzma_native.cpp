@@ -19,6 +19,7 @@
 #include <cstring>
 #include <cstdio>
 #include <string>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -879,10 +880,13 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
 // finder depth; chunk_size (clamped to [256, 65536]) sets the unpacked
 // bytes per LZMA2 chunk (smaller chunks suit the VMEM TPU decode kernel).
 // Output is a complete LZMA2 chunk stream (0x00-terminated).
+extern "C++" {
+template <bool kBt>
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
                                  int parse_mode, int props, size_t dist_cap,
                                  std::string& out);
+}  // extern "C++"
 
 int lrt_lzma2_compress(const char* data, size_t n, int level,
                        size_t chunk_size, int props, size_t dist_cap,
@@ -891,7 +895,7 @@ int lrt_lzma2_compress(const char* data, size_t n, int level,
   // parse modes: 1-3 greedy with lazy lookahead (fastest), 4-6 add
   // price-density candidate selection from the live adaptive model,
   // 7-9 run the optimal-parse-lite DP (best ratio, ~10x slower encode)
-  int parse_mode = level >= 7 ? 2 : level >= 4 ? 1 : 0;
+  int parse_mode = level >= 6 ? 2 : level >= 4 ? 1 : 0;
   if (chunk_size < 256) chunk_size = 256;
   if (chunk_size > 65536) chunk_size = 65536;
   // props byte (lzma_header.py / lzma.rs:43-94): default lc=3 lp=0 pb=2.
@@ -904,10 +908,18 @@ int lrt_lzma2_compress(const char* data, size_t n, int level,
   // archives encoded with a cap decode on the fast ring path.
   std::string out;
   out.reserve(n / 3 + 64);
-  if (n > 0)
-    lzma2_compress_block(reinterpret_cast<const uint8_t*>(data), n, depth,
-                         /*first_block=*/1, chunk_size, parse_mode, props,
-                         dist_cap, out);
+  if (n > 0) {
+    // bt4 costs 8 bytes of tree per input byte; fall back to the hash
+    // chain for degenerate single-block inputs beyond 256 MB
+    if (parse_mode >= 1 && n <= (size_t(1) << 28))
+      lzma2_compress_block<true>(reinterpret_cast<const uint8_t*>(data), n,
+                                 depth, /*first_block=*/1, chunk_size,
+                                 parse_mode, props, dist_cap, out);
+    else
+      lzma2_compress_block<false>(reinterpret_cast<const uint8_t*>(data), n,
+                                  depth, /*first_block=*/1, chunk_size,
+                                  parse_mode, props, dist_cap, out);
+  }
   out.push_back('\0');
   *out_buf = dup_out(out);
   *out_len = out.size();
@@ -1211,6 +1223,20 @@ struct LzmaEncoder {
   }
 };
 
+constexpr uint32_t kMaxMatchLen = 273;
+// Declared LZMA2 dictionary size (matches the .xz filter props byte 22 ->
+// 8 MiB); encoder distances must respect it or strict decoders (liblzma)
+// reject the stream.
+constexpr size_t kEncDictSize = size_t(1) << 23;
+
+// A match candidate; find_all returns a pareto front ordered by
+// strictly increasing length (each longer candidate supersedes nearer,
+// shorter ones for its length range).
+struct Cand {
+  uint32_t len, dist;
+};
+constexpr int kMaxCands = 24;
+
 // Greedy hash-chain match finder (hash of 4 bytes).
 struct MatchFinder {
   const uint8_t* data;
@@ -1262,13 +1288,172 @@ struct MatchFinder {
     }
     return {best_len, best_dist};
   }
+
+  // Unified finder API: search (pre-insert state), then insert pos.
+  inline int find_all(size_t pos, size_t max_dist, size_t limit,
+                      Cand* out) {
+    auto [l, d] = pos + 4 <= n ? find(pos, max_dist, limit)
+                               : std::pair<uint32_t, uint32_t>{0, 0};
+    insert(pos);
+    if (l >= 2) {
+      out[0] = {l, d};
+      return 1;
+    }
+    return 0;
+  }
 };
 
-constexpr uint32_t kMaxMatchLen = 273;
-// Declared LZMA2 dictionary size (matches the .xz filter props byte 22 ->
-// 8 MiB); encoder distances must respect it or strict decoders (liblzma)
-// reject the stream.
-constexpr size_t kEncDictSize = size_t(1) << 23;
+// Binary-tree match finder (bt4 family: hash2/hash3 recency tables for
+// short near matches + a binary search tree per hash4 bucket, ordered by
+// suffix). Compared to the hash chain it finds the true longest match
+// within the window AND the pareto front of shorter-but-nearer
+// alternatives — which is what the price-density and DP parses need.
+// Tree maintenance (a re-linking walk per inserted position) makes it
+// ~2x the insert cost of the chain; used by levels >= 4. The structural
+// invariant: the bucket root is the newest position and every step down
+// the tree reaches an older one, so a distance beyond the window cuts
+// the whole subtree.
+struct Bt4MatchFinder {
+  const uint8_t* data;
+  size_t n;
+  std::vector<int32_t> head2, head3, head;
+  std::vector<int32_t> tree;  // [2*pos] = left child, [2*pos+1] = right
+  int depth;
+  size_t dist_cap;  // 0 = uncapped (window = dict size)
+  static constexpr int kHashBits = 17;
+  static constexpr int kHash2Bits = 10;
+  static constexpr int kHash3Bits = 16;
+
+  Bt4MatchFinder(const uint8_t* d, size_t n_, int depth_, size_t cap)
+      : data(d), n(n_),
+        head2(size_t(1) << kHash2Bits, -1),
+        head3(size_t(1) << kHash3Bits, -1),
+        head(size_t(1) << kHashBits, -1),
+        tree(2 * n_, -1), depth(depth_), dist_cap(cap) {}
+
+  static inline uint32_t hash4(const uint8_t* p) {
+    uint32_t x;
+    memcpy(&x, p, 4);
+    return (x * 2654435761u) >> (32 - kHashBits);
+  }
+  static inline uint32_t hash2(const uint8_t* p) {
+    uint32_t x = uint32_t(p[0]) | (uint32_t(p[1]) << 8);
+    return (x * 2654435761u) >> (32 - kHash2Bits);
+  }
+  static inline uint32_t hash3(const uint8_t* p) {
+    uint32_t x =
+        uint32_t(p[0]) | (uint32_t(p[1]) << 8) | (uint32_t(p[2]) << 16);
+    return (x * 2654435761u) >> (32 - kHash3Bits);
+  }
+
+  inline size_t window_at(size_t pos) const {
+    size_t w = pos < kEncDictSize ? pos : kEncDictSize;
+    if (dist_cap && w > dist_cap) w = dist_cap;
+    return w;
+  }
+
+  // Core walk: collect pareto candidates (when out != nullptr) and
+  // re-link pos into its bucket's tree. Candidates from hash2/hash3
+  // come first (fully extended), then tree candidates with strictly
+  // increasing length. ``search_limit`` caps REPORTED candidate lengths
+  // (chunk boundaries); tree comparisons always run to the block-wide
+  // ``tree_limit`` — capping them at a chunk tail would adopt unequal
+  // suffixes as equal and corrupt the ordering for future searches.
+  int walk(size_t pos, size_t max_dist, size_t search_limit,
+           size_t tree_limit, Cand* out) {
+    int n_out = 0;
+    uint32_t best = 1;
+    const uint8_t* cur = data + pos;
+    if (pos + 2 <= n) {
+      uint32_t h2v = hash2(cur);
+      int32_t c2 = head2[h2v];
+      head2[h2v] = int32_t(pos);
+      if (out && c2 >= 0 && pos - size_t(c2) <= max_dist) {
+        const uint8_t* q = data + c2;
+        size_t l = 0;
+        while (l < search_limit && q[l] == cur[l]) l++;
+        if (l >= 2) {
+          best = uint32_t(l);
+          out[n_out++] = {best, uint32_t(pos - size_t(c2))};
+        }
+      }
+    }
+    if (pos + 3 <= n) {
+      uint32_t h3v = hash3(cur);
+      int32_t c3 = head3[h3v];
+      head3[h3v] = int32_t(pos);
+      if (out && c3 >= 0 && pos - size_t(c3) <= max_dist) {
+        const uint8_t* q = data + c3;
+        size_t l = 0;
+        while (l < search_limit && q[l] == cur[l]) l++;
+        if (l >= 3 && l > best) {
+          best = uint32_t(l);
+          out[n_out++] = {best, uint32_t(pos - size_t(c3))};
+        }
+      }
+    }
+    if (pos + 4 > n) return n_out;
+    uint32_t h = hash4(cur);
+    int32_t cand = head[h];
+    head[h] = int32_t(pos);
+    int32_t* ptr0 = &tree[2 * pos + 1];
+    int32_t* ptr1 = &tree[2 * pos];
+    uint32_t len0 = 0, len1 = 0;
+    int tries = depth;
+    for (;;) {
+      if (cand < 0 || tries-- <= 0 || pos - size_t(cand) > max_dist) {
+        *ptr0 = -1;
+        *ptr1 = -1;
+        break;
+      }
+      const uint8_t* q = data + cand;
+      uint32_t len = len0 < len1 ? len0 : len1;
+      if (q[len] == cur[len]) {
+        while (len < tree_limit && q[len] == cur[len]) len++;
+        uint32_t cl = len < search_limit ? len : uint32_t(search_limit);
+        if (out && cl > best && cl >= 2 && n_out < kMaxCands) {
+          best = cl;
+          out[n_out++] = {cl, uint32_t(pos - size_t(cand))};
+        }
+        if (len >= tree_limit) {
+          // full-prefix equality: adopt cand's children, done
+          *ptr1 = tree[2 * size_t(cand)];
+          *ptr0 = tree[2 * size_t(cand) + 1];
+          break;
+        }
+      }
+      if (q[len] < cur[len]) {
+        *ptr1 = cand;
+        ptr1 = &tree[2 * size_t(cand) + 1];
+        len1 = len;
+        cand = *ptr1;
+      } else {
+        *ptr0 = cand;
+        ptr0 = &tree[2 * size_t(cand)];
+        len0 = len;
+        cand = *ptr0;
+      }
+    }
+    return n_out;
+  }
+
+  inline size_t tree_limit_at(size_t pos) const {
+    size_t l = n - pos;
+    return l > kMaxMatchLen ? kMaxMatchLen : l;
+  }
+
+  inline int find_all(size_t pos, size_t max_dist, size_t limit,
+                      Cand* out) {
+    return walk(pos, max_dist, limit, tree_limit_at(pos), out);
+  }
+
+  // Insert-only (positions covered by an emitted match).
+  inline void insert(size_t pos) {
+    size_t tl = tree_limit_at(pos);
+    walk(pos, window_at(pos), tl, tl, nullptr);
+  }
+};
+
 
 // ---------------------------------------------------------------------------
 // Optimal-parse-lite: forward shortest-path DP over a sliding lookahead
@@ -1365,8 +1550,10 @@ static void emit_step(const uint8_t* block, size_t pos, LzmaEncoder& enc,
 
 // One DP window starting at `start`; emits the optimal step sequence and
 // returns the new position (> start).
+extern "C++" {
+template <class MF>
 static size_t optimal_parse_emit(const uint8_t* block, size_t start,
-                                 size_t end, MatchFinder& mf,
+                                 size_t end, MF& mf,
                                  LzmaEncoder& enc, size_t dist_cap) {
   constexpr uint64_t kInf = ~0ull;
   // Long-rep shortcut: a rep0 run covering the whole DP window (long
@@ -1432,22 +1619,23 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
               uint16_t(lmax), uint32_t(d));
     }
 
-    uint32_t m_len = 0, m_dist = 0;
-    if (ap + 4 <= end) {
-      auto m = mf.find(ap, max_dist, limit);
-      m_len = m.first;
-      m_dist = m.second;
-    }
-    mf.insert(ap);
-    if (m_len >= 2) {
-      for (uint32_t len = 2; len <= 8 && len <= m_len; len++)
-        relax(size_t(i) + len,
-              c + enc.price_match(ps, len, m_dist - 1), 3, uint16_t(len),
-              m_dist);
-      if (m_len > 8)
-        relax(size_t(i) + m_len,
-              c + enc.price_match(ps, m_len, m_dist - 1), 3,
-              uint16_t(m_len), m_dist);
+    Cand cands[kMaxCands];
+    int nc = mf.find_all(ap, max_dist, limit, cands);
+    uint32_t prev_len = 1;
+    for (int ci = 0; ci < nc; ci++) {
+      uint32_t ml = cands[ci].len, md = cands[ci].dist;
+      if (ml < 2) continue;
+      // each pareto candidate prices the length range its predecessor
+      // could not reach (nearer candidates are cheaper for short lens)
+      uint32_t lo = prev_len + 1 < 2 ? 2 : prev_len + 1;
+      uint32_t hi = std::min(ml, lo + 6);
+      for (uint32_t len = lo; len <= hi; len++)
+        relax(size_t(i) + len, c + enc.price_match(ps, len, md - 1), 3,
+              uint16_t(len), md);
+      if (ml > hi)
+        relax(size_t(i) + ml, c + enc.price_match(ps, ml, md - 1), 3,
+              uint16_t(ml), md);
+      prev_len = ml;
     }
   }
 
@@ -1476,8 +1664,9 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
 // 2 = the optimal-parse-lite DP above, 1 = greedy with price-density
 // candidate selection, 0 = greedy with length heuristics + lazy
 // lookahead.
+template <class MF>
 static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
-                                     size_t end, MatchFinder& mf,
+                                     size_t end, MF& mf,
                                      LzmaEncoder& enc, int parse_mode,
                                      size_t dist_cap) {
   enc.rc = RangeEncoder();
@@ -1489,6 +1678,12 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
   }
   const int pb = enc.pb;
   size_t pos = start;
+  // one-position lazy-lookahead cache: a peek at pos+1 inserts pos+1
+  // into the finder (bt4 walks re-link the tree), so the result is
+  // cached and consumed instead of re-walking (or double-inserting)
+  Cand cached_cands[kMaxCands];
+  int cached_nc = 0;
+  size_t cached_at = SIZE_MAX;
   while (pos < end) {
     size_t pos_state = pos & ((size_t(1) << pb) - 1);
     size_t limit = end - pos;
@@ -1508,11 +1703,19 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       while (l < limit && q[l] == block[pos + l]) l++;
       rep_len[r] = uint32_t(l);
     }
-    // normal match (search BEFORE inserting pos — a self-match at
-    // distance 0 would read as the EOS marker)
-    auto [m_len, m_dist] = pos + 4 <= end ? mf.find(pos, max_dist, limit)
-                                          : std::pair<uint32_t, uint32_t>{0, 0};
-    mf.insert(pos);
+    // normal-match candidates (find_all searches the pre-insert state —
+    // a self-match at distance 0 would read as the EOS marker — then
+    // inserts pos)
+    Cand cands[kMaxCands];
+    int nc;
+    if (cached_at == pos) {
+      nc = cached_nc;
+      if (nc > 0) memcpy(cands, cached_cands, sizeof(Cand) * size_t(nc));
+    } else {
+      nc = mf.find_all(pos, max_dist, limit, cands);
+    }
+    uint32_t m_len = nc ? cands[nc - 1].len : 0;
+    uint32_t m_dist = nc ? cands[nc - 1].dist : 0;
 
     int best_rep = -1;
     uint32_t best_rep_len = 0;
@@ -1555,12 +1758,16 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
           price_rep_idx = r;
         }
       }
-      if (m_len >= 2) {
-        uint64_t p = enc.price_match(pos_state, m_len, m_dist - 1);
-        if (better(p, m_len)) {
+      for (int ci = 0; ci < nc; ci++) {
+        uint32_t cl = cands[ci].len, cd = cands[ci].dist;
+        if (cl < 2) continue;
+        uint64_t p = enc.price_match(pos_state, cl, cd - 1);
+        if (better(p, cl)) {
           kind = 3;
           best_price = p;
-          best_adv = m_len;
+          best_adv = cl;
+          m_len = cl;
+          m_dist = cd;
         }
       }
       // Lazy lookahead: emitting a literal first is worth it when the
@@ -1569,7 +1776,11 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
           pos + 1 + 4 <= end) {
         size_t lim2 = end - (pos + 1);
         if (lim2 > kMaxMatchLen) lim2 = kMaxMatchLen;
-        auto [n_len, n_dist] = mf.find(pos + 1, max_dist + 1, lim2);
+        cached_nc = mf.find_all(pos + 1, max_dist + 1, lim2,
+                                cached_cands);
+        cached_at = pos + 1;
+        uint32_t n_len = cached_nc ? cached_cands[cached_nc - 1].len : 0;
+        uint32_t n_dist = cached_nc ? cached_cands[cached_nc - 1].dist : 0;
         if (n_len > best_adv) {
           uint64_t np = enc.price_match(pos_state, n_len, n_dist - 1);
           if ((lit_price + np) * best_adv <
@@ -1614,7 +1825,11 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       if (use_match && pos + 1 + 4 <= end && m_len < kMaxMatchLen) {
         size_t lim2 = end - (pos + 1);
         if (lim2 > kMaxMatchLen) lim2 = kMaxMatchLen;
-        auto [n_len, n_dist] = mf.find(pos + 1, max_dist + 1, lim2);
+        cached_nc = mf.find_all(pos + 1, max_dist + 1, lim2,
+                                cached_cands);
+        cached_at = pos + 1;
+        uint32_t n_len = cached_nc ? cached_cands[cached_nc - 1].len : 0;
+        uint32_t n_dist = cached_nc ? cached_cands[cached_nc - 1].dist : 0;
         if (n_len > m_len ||
             (n_len == m_len && n_dist + (n_dist >> 3) < m_dist))
           use_match = false;
@@ -1655,7 +1870,8 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       }
       enc.encode_len(enc.layout.rep_len_coder, pos_state, len - 2);
       enc.state = enc.state < 7 ? 8 : 11;
-      for (uint32_t i = 1; i < len; i++) mf.insert(pos + i);
+      for (uint32_t i = (cached_at == pos + 1 ? 2u : 1u); i < len; i++)
+        mf.insert(pos + i);
       pos += len;
     } else if (use_match) {
       enc.bit(enc.layout.is_match + (size_t(enc.state) << 4) + pos_state, 1);
@@ -1668,7 +1884,8 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       enc.encode_len(enc.layout.len_coder, pos_state, lval);
       enc.state = enc.state < 7 ? 7 : 10;
       enc.encode_distance(lval, m_dist - 1);
-      for (uint32_t i = 1; i < m_len; i++) mf.insert(pos + i);
+      for (uint32_t i = (cached_at == pos + 1 ? 2u : 1u); i < m_len; i++)
+        mf.insert(pos + i);
       pos += m_len;
     } else if (best_rep == 0 && rep_len[0] >= 1 && m_len < 2) {
       // short rep (len 1)
@@ -1690,6 +1907,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
   enc.rc.finish();
   return std::move(enc.rc.out);
 }
+}  // extern "C++"
 
 // Compress one dict region (block) into an LZMA2 chunk stream (no 0x00
 // terminator). Chunks are 64 KiB unpacked with the dictionary AND the
@@ -1697,12 +1915,20 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
 // only the range coder restarts). Chunks that do not compress are stored
 // (control 1/2) with an encoder-state rollback, and the next compressed
 // chunk resets state (reset_mode 1) as the spec requires.
+extern "C++" {
+template <bool kBt>
 static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
                                  int first_block, size_t chunk_size,
                                  int parse_mode, int props, size_t dist_cap,
                                  std::string& out) {
   const size_t kChunk = chunk_size;
-  MatchFinder mf(data, n, depth);
+  using MF = std::conditional_t<kBt, Bt4MatchFinder, MatchFinder>;
+  MF mf = [&] {
+    if constexpr (kBt)
+      return Bt4MatchFinder(data, n, depth, dist_cap);
+    else
+      return MatchFinder(data, n, depth);
+  }();
   int lc = props % 9, lp = (props / 9) % 5, pb = props / 45;
   LzmaEncoder enc(lc, lp, pb);
   size_t pos = 0;
@@ -1762,6 +1988,7 @@ static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
     pos = end;
   }
 }
+}  // extern "C++"
 
 // Literal-only LZMA encode body (mirror of encode/dumbencoder.rs:64-123):
 // lc=3, lp=0, pb=2 hard-coded like the reference; 8 literal contexts via

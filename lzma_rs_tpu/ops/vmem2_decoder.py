@@ -85,11 +85,16 @@ from lzma_rs_tpu.ops.vmem_decoder import (  # shared DFA/layout/constants
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
-# State-slot indices in the [NSLOT, S, M] scratch ref.
+# State-slot indices in the [NSLOT, S, M] scratch ref. The pw* slots are
+# the deferred probability-write queue (TB=2): each step's two prob
+# updates are held as (word index, word value) pairs and retired into the
+# table by ONE blend traversal at the next step's first bit — reads in
+# between see them via a per-lane fix-up. Index -1 = no pending write.
 _SLOTS = (
     "node", "meta", "rng", "cod", "inp", "inend", "outp", "outend",
     "state", "rep0", "rep1", "rep2", "rep3", "acc", "cnt", "tmp", "rev",
     "length", "dist", "mbyte", "prevb", "tile_base",
+    "pw0i", "pw0w", "pw1i", "pw1w",
 )
 NSLOT = len(_SLOTS)
 _OUTP_SLOT = _SLOTS.index("outp")
@@ -97,16 +102,30 @@ _INP_SLOT = _SLOTS.index("inp")
 _META_SLOT = _SLOTS.index("meta")
 _NODE_SLOT = _SLOTS.index("node")
 _TILEBASE_SLOT = _SLOTS.index("tile_base")
+_PW0I_SLOT = _SLOTS.index("pw0i")
+_PW0W_SLOT = _SLOTS.index("pw0w")
+_PW1I_SLOT = _SLOTS.index("pw1i")
+_PW1W_SLOT = _SLOTS.index("pw1w")
 
 
 @dataclasses.dataclass(frozen=True)
 class KernelConfig2(KernelConfig):
     """Gen-2 shape bucket. Identical fields; ``L`` should be a multiple
     of 128 on hardware (lanes fold into [L//128, 128] tiles). Smaller L
-    is allowed for interpret-mode tests (folds into [1, L])."""
+    is allowed for interpret-mode tests (folds into [1, L]).
+
+    ``TB`` = tree bits decoded per step. At TB=2, lanes sitting in a
+    multi-bit tree walk (literal trees, len/pos_slot/spec_pos/align
+    trees, direct bits — where the NEXT probability index depends only
+    on the bits accumulated so far) decode two bits per step, paying the
+    probability passes twice but every other per-step pass (window port,
+    window write, copy, chunk scheduling, loop overhead) once. Control
+    bits (is_match/is_rep/... decisions that change the DFA node) stay
+    one per step. A literal costs ~5 steps instead of 9."""
 
     L: int = 1024
     UNROLL: int = 2
+    TB: int = 1
 
     def __post_init__(self):
         super().__post_init__()
@@ -118,6 +137,14 @@ class KernelConfig2(KernelConfig):
         assert self.L % 128 == 0 or self.L <= 128, (
             f"KernelConfig2.L={self.L}: must be a multiple of 128 "
             "(hardware lane tiles) or <= 128 (interpret-mode tests)"
+        )
+        assert self.TB in (1, 2)
+        # The input-lookahead tile must cover a full maintenance period's
+        # worst-case consumption (TB bytes/step, one renormalization per
+        # bit) plus row-alignment slack and the chunk-setup margin.
+        assert self.TILE - 128 >= self.TB * self.MAINT + 16, (
+            f"TILE={self.TILE} too small for TB={self.TB} x MAINT="
+            f"{self.MAINT} (need >= {128 + self.TB * self.MAINT + 16})"
         )
 
 
@@ -193,6 +220,8 @@ def decode_segments_vmem2(
         st_ref[:] = jnp.zeros((NSLOT, S, M), _I32)
         st_ref[_NODE_SLOT] = zt + N_CHUNK
         st_ref[2] = zt - 1  # rng = 0xFFFFFFFF
+        st_ref[_PW0I_SLOT] = zt - 1  # no pending prob writes
+        st_ref[_PW1I_SLOT] = zt - 1
 
         def load_state():
             return tuple(st_ref[i] for i in range(NSLOT))
@@ -251,7 +280,7 @@ def decode_segments_vmem2(
             # group). Semantics identical to gen-1's step().
             (node0, meta0, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
-             mbyte, prevb, tile_base) = carry
+             mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w) = carry
             err = meta0 & 15
             pending = (meta0 >> 4) & 3
             len_rep = (meta0 >> 6) & 1
@@ -261,95 +290,181 @@ def decode_segments_vmem2(
             pb = (meta0 >> 17) & 7
             chunk_i = (meta0 >> 20) & 63
 
-            is_prob = (node0 <= N_ALIGN) & (node0 != N_DIRECT)
-            is_lit_node = (node0 == N_LIT) | (node0 == N_LITM)
-            is_direct = node0 == N_DIRECT
-            active_bit = is_prob | is_direct
-
             pos_state = outp & ((1 << pb) - 1)
             st4 = state * NPS + pos_state
-
-            # -------- Stage A: probability index + one bit --------------
-            match_bit0 = (mbyte >> 7) & 1
             len_base = jnp.where(len_rep == 1, H_REP_LEN, H_LEN)
-            hot_idx = tmp + acc  # LEN_TREE / POSSLOT / SPECPOS / ALIGN
-            for cond_, val in (
-                (node0 == N_ISMATCH, H_IS_MATCH + st4),
-                (node0 == N_ISREP, H_IS_REP + state),
-                (node0 == N_ISREPG0, H_G0 + state),
-                (node0 == N_ISREP0LONG, H_REP0LONG + st4),
-                (node0 == N_ISREPG1, H_G1 + state),
-                (node0 == N_ISREPG2, H_G2 + state),
-                (node0 == N_LEN_CHOICE, len_base),
-                (node0 == N_LEN_CHOICE2, len_base + 1),
-            ):
-                hot_idx = jnp.where(cond_, val, hot_idx)
-            hot_idx = jnp.clip(hot_idx, 0, H_TOTAL - 1)
-            lit_idx = jnp.where(
-                node0 == N_LITM, ((1 + match_bit0) << 8) + acc, acc
-            )
-            lit_idx = jnp.clip(lit_ctx * LIT_ROW + lit_idx, 0, LIT_W - 1)
-            pidx = jnp.where(is_lit_node, HOT_W + lit_idx, hot_idx)
-            pword_idx = pidx >> 1
-            phalf = pidx & 1
-            if "probread" in _ABLATE:
-                pword = pword_idx * 0 + PROB_PACKED
-            else:
-                pword = onehot_read_word(prob_ref[:], pword_idx,
-                                         PROB_WORDS)
-            p = jnp.where(
-                phalf == 1, (pword >> 16) & 0xFFFF, pword & 0xFFFF
-            ).astype(_U32)
-
-            rng_u = rng.astype(_U32)
-            cod_u = cod.astype(_U32)
-            bound = (rng_u >> 11) * p
-            prob_bit = (cod_u >= bound).astype(_I32)
-            new_p = jnp.where(
-                prob_bit == 1, p - (p >> 5), p + ((_U32(0x800) - p) >> 5)
-            ).astype(_I32)
-
-            new_pword = jnp.where(
-                phalf == 1,
-                (pword & 0xFFFF) | (new_p << 16),
-                (pword & jnp.int32(-0x10000)) | new_p,
-            )
             prob_rows = jax.lax.broadcasted_iota(
                 _I32, (PROB_WORDS, S, M), 0
             )
-            if "probwrite" not in _ABLATE:
-                pm = (prob_rows == pword_idx[None]) & is_prob[None]
-                prob_ref[:] = jnp.where(pm, new_pword[None], prob_ref[:])
 
-            rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
-            cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
+            # -------- Stage A/B x TB: bit-decode loop -------------------
+            # j=0 serves every bit-consuming node (control + tree); j>=1
+            # only lanes still inside a multi-bit tree walk, where the
+            # next probability index is a pure function of the bits
+            # accumulated so far. Tree accumulation (acc/cnt/rev/mbyte,
+            # LITM->LIT mismatch drop) happens inside the loop; the node
+            # handlers below consume the result via done predicates.
+            # Each extra bit costs one probability read+write pass and a
+            # renormalization; every other per-step pass amortizes.
+            node = node0
+            bit0 = jnp.zeros_like(node0)
+            for j in range(cfg.TB):
+                is_lit_j = (node == N_LIT) | (node == N_LITM)
+                is_direct_j = node == N_DIRECT
+                is_cnt_j = (
+                    (node == N_LEN_TREE) | (node == N_POSSLOT)
+                    | (node == N_SPECPOS) | is_direct_j | (node == N_ALIGN)
+                )
+                if j == 0:
+                    is_direct_act = is_direct_j
+                    is_prob_act = (node <= N_ALIGN) & ~is_direct_j
+                    active_j = is_prob_act | is_direct_act
+                else:
+                    cont = (is_lit_j & (acc < 0x100)) | (
+                        is_cnt_j & (cnt > 0)
+                    )
+                    active_j = cont & (node != N_ERROR)
+                    is_direct_act = is_direct_j & active_j
+                    is_prob_act = active_j & ~is_direct_j
 
-            rng_d = rng_u >> 1
-            dir_bit = (cod_u >= rng_d).astype(_I32)
-            cod_d = jnp.where(dir_bit == 1, cod_u - rng_d, cod_u)
+                match_bit_j = (mbyte >> 7) & 1
+                hot_idx = tmp + acc  # LEN_TREE / POSSLOT / SPECPOS / ALIGN
+                if j == 0:
+                    # control-node overrides: only reachable on the first
+                    # bit (control nodes never continue past one bit)
+                    for cond_, val in (
+                        (node == N_ISMATCH, H_IS_MATCH + st4),
+                        (node == N_ISREP, H_IS_REP + state),
+                        (node == N_ISREPG0, H_G0 + state),
+                        (node == N_ISREP0LONG, H_REP0LONG + st4),
+                        (node == N_ISREPG1, H_G1 + state),
+                        (node == N_ISREPG2, H_G2 + state),
+                        (node == N_LEN_CHOICE, len_base),
+                        (node == N_LEN_CHOICE2, len_base + 1),
+                    ):
+                        hot_idx = jnp.where(cond_, val, hot_idx)
+                hot_idx = jnp.clip(hot_idx, 0, H_TOTAL - 1)
+                lit_idx = jnp.where(
+                    node == N_LITM, ((1 + match_bit_j) << 8) + acc, acc
+                )
+                lit_idx = jnp.clip(
+                    lit_ctx * LIT_ROW + lit_idx, 0, LIT_W - 1
+                )
+                pidx = jnp.where(is_lit_j, HOT_W + lit_idx, hot_idx)
+                pword_idx = pidx >> 1
+                phalf = pidx & 1
+                if "probread" in _ABLATE:
+                    pword = pword_idx * 0 + PROB_PACKED
+                else:
+                    pword = onehot_read_word(prob_ref[:], pword_idx,
+                                             PROB_WORDS)
+                    if cfg.TB == 2:
+                        # deferred writes: reads see outstanding updates
+                        # via a per-lane fix-up (newest pending first)
+                        pword = jnp.where(pword_idx == pw1i, pw1w, pword)
+                        pword = jnp.where(
+                            (pword_idx == pw0i) & (pw0i != pw1i),
+                            pw0w, pword,
+                        )
+                if cfg.TB == 2 and j == 0 and "probwrite" not in _ABLATE:
+                    # retire the previous step's two pending updates with
+                    # ONE blend traversal (newest outermost), then clear
+                    # them so later fix-ups never resurrect stale values
+                    prob_ref[:] = jnp.where(
+                        prob_rows == pw1i[None], pw1w[None],
+                        jnp.where(
+                            prob_rows == pw0i[None], pw0w[None],
+                            prob_ref[:],
+                        ),
+                    )
+                    pw0i = zt - 1
+                    pw1i = zt - 1
+                p = jnp.where(
+                    phalf == 1, (pword >> 16) & 0xFFFF, pword & 0xFFFF
+                ).astype(_U32)
 
-            bit = jnp.where(is_prob, prob_bit, dir_bit)
-            rng_u = jnp.where(
-                is_prob, rng_p, jnp.where(is_direct, rng_d, rng_u)
-            )
-            cod_u = jnp.where(
-                is_prob, cod_p, jnp.where(is_direct, cod_d, cod_u)
-            )
+                rng_u = rng.astype(_U32)
+                cod_u = cod.astype(_U32)
+                bound = (rng_u >> 11) * p
+                prob_bit = (cod_u >= bound).astype(_I32)
+                new_p = jnp.where(
+                    prob_bit == 1, p - (p >> 5),
+                    p + ((_U32(0x800) - p) >> 5),
+                ).astype(_I32)
 
-            # -------- Stage B: renormalize ------------------------------
-            need = active_bit & (rng_u < _U32(1 << 24))
-            can = inp < inend
-            eof = need & ~can
-            err = jnp.where(eof & (err == ERR_NONE), ERR_EOF, err)
-            node = jnp.where(eof, N_ERROR, node0)
-            do = need & can
-            byte_in = in_byte(inp, tile_base).astype(_U32)
-            rng_u = jnp.where(do, rng_u << 8, rng_u)
-            cod_u = jnp.where(do, (cod_u << 8) ^ byte_in, cod_u)
-            inp = jnp.where(do, inp + 1, inp)
-            rng = rng_u.astype(_I32)
-            cod = cod_u.astype(_I32)
+                new_pword = jnp.where(
+                    phalf == 1,
+                    (pword & 0xFFFF) | (new_p << 16),
+                    (pword & jnp.int32(-0x10000)) | new_p,
+                )
+                if "probwrite" not in _ABLATE:
+                    if cfg.TB == 2:
+                        # enqueue; the next step's first bit retires it
+                        if j == 0:
+                            pw0i = jnp.where(is_prob_act, pword_idx, -1)
+                            pw0w = new_pword
+                        else:
+                            pw1i = jnp.where(is_prob_act, pword_idx, -1)
+                            pw1w = new_pword
+                    else:
+                        pm = (
+                            prob_rows == pword_idx[None]
+                        ) & is_prob_act[None]
+                        prob_ref[:] = jnp.where(
+                            pm, new_pword[None], prob_ref[:]
+                        )
 
+                rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
+                cod_p = jnp.where(prob_bit == 1, cod_u - bound, cod_u)
+
+                rng_d = rng_u >> 1
+                dir_bit = (cod_u >= rng_d).astype(_I32)
+                cod_d = jnp.where(dir_bit == 1, cod_u - rng_d, cod_u)
+
+                bit = jnp.where(is_prob_act, prob_bit, dir_bit)
+                rng_u = jnp.where(
+                    is_prob_act, rng_p,
+                    jnp.where(is_direct_act, rng_d, rng_u),
+                )
+                cod_u = jnp.where(
+                    is_prob_act, cod_p,
+                    jnp.where(is_direct_act, cod_d, cod_u),
+                )
+
+                # renormalize (one input byte per bit when range shrinks)
+                need = active_j & (rng_u < _U32(1 << 24))
+                can = inp < inend
+                eof = need & ~can
+                err = jnp.where(eof & (err == ERR_NONE), ERR_EOF, err)
+                node = jnp.where(eof, N_ERROR, node)
+                do = need & can
+                byte_in = in_byte(inp, tile_base).astype(_U32)
+                rng_u = jnp.where(do, rng_u << 8, rng_u)
+                cod_u = jnp.where(do, (cod_u << 8) ^ byte_in, cod_u)
+                inp = jnp.where(do, inp + 1, inp)
+                rng = rng_u.astype(_I32)
+                cod = cod_u.astype(_I32)
+
+                # in-loop tree accumulation (error lanes skip their bit)
+                okj = active_j & ~eof
+                m_lit = okj & is_lit_j
+                m_litm = okj & (node == N_LITM)
+                m_cnt = okj & is_cnt_j
+                m_rev = okj & ((node == N_SPECPOS) | (node == N_ALIGN))
+                acc = jnp.where(m_lit | m_cnt, (acc << 1) | bit, acc)
+                rev = jnp.where(m_rev, rev | (bit * mbyte), rev)
+                mbyte = jnp.where(
+                    m_litm, (mbyte << 1) & 0xFF,
+                    jnp.where(m_rev, mbyte << 1, mbyte),
+                )
+                cnt = jnp.where(m_cnt, cnt - 1, cnt)
+                # matched-literal mismatch: drop to the plain literal tree
+                drop = m_litm & (acc < 0x100) & (bit != match_bit_j)
+                node = jnp.where(drop, N_LIT, node)
+                if j == 0:
+                    bit0 = bit
+
+            bit = bit0  # control handlers consume the first bit
             ok = node != N_ERROR
 
             def end_symbol(mask, node, err, outp_v):
@@ -388,18 +503,11 @@ def decode_segments_vmem2(
 
             lit_ctx = jnp.where(start_lit, lit_state, lit_ctx)
 
-            # --- N_LITM ---------------------------------------------------
-            m = ok & (node0 == N_LITM)
-            acc = jnp.where(m, (acc << 1) | bit, acc)
-            mbyte = jnp.where(m, (mbyte << 1) & 0xFF, mbyte)
-            done_litm = m & (acc >= 0x100)
-            drop = m & ~done_litm & (bit != match_bit0)
-            node = jnp.where(drop, N_LIT, node)
-
-            # --- N_LIT ----------------------------------------------------
-            m = ok & (node0 == N_LIT)
-            acc = jnp.where(m, (acc << 1) | bit, acc)
-            done_lit = (m & (acc >= 0x100)) | done_litm
+            # --- N_LIT / N_LITM (tree bits consumed in-loop) --------------
+            done_lit = (
+                ok & ((node0 == N_LIT) | (node0 == N_LITM))
+                & (acc >= 0x100)
+            )
 
             lit_emit = (acc - 0x100) & 0xFF
             state = jnp.where(done_lit, _after_lit(state), state)
@@ -472,8 +580,6 @@ def decode_segments_vmem2(
 
             # --- N_LEN_TREE -----------------------------------------------
             m = ok & (node0 == N_LEN_TREE)
-            acc = jnp.where(m, (acc << 1) | bit, acc)
-            cnt = jnp.where(m, cnt - 1, cnt)
             done_len = m & (cnt == 0)
             tree_size = jnp.where(rev >= 16, 256, 8)
             lval = rev + acc - tree_size  # 0..271
@@ -490,8 +596,6 @@ def decode_segments_vmem2(
 
             # --- N_POSSLOT ------------------------------------------------
             m = ok & (node0 == N_POSSLOT)
-            acc = jnp.where(m, (acc << 1) | bit, acc)
-            cnt = jnp.where(m, cnt - 1, cnt)
             done_ps = m & (cnt == 0)
             pos_slot = acc - 64
             small = done_ps & (pos_slot < 4)
@@ -515,16 +619,10 @@ def decode_segments_vmem2(
 
             # --- N_SPECPOS ------------------------------------------------
             m = ok & (node0 == N_SPECPOS)
-            acc = jnp.where(m, (acc << 1) | bit, acc)
-            rev = jnp.where(m, rev | (bit * mbyte), rev)
-            mbyte = jnp.where(m, mbyte << 1, mbyte)
-            cnt = jnp.where(m, cnt - 1, cnt)
             done_sp = m & (cnt == 0)
 
             # --- N_DIRECT -------------------------------------------------
             m = ok & (node0 == N_DIRECT)
-            acc = jnp.where(m, (acc << 1) | bit, acc)
-            cnt = jnp.where(m, cnt - 1, cnt)
             done_d = m & (cnt == 0)
             dist = jnp.where(done_d, dist + (acc << 4), dist)
             tmp = jnp.where(done_d, H_ALIGN, tmp)
@@ -536,10 +634,6 @@ def decode_segments_vmem2(
 
             # --- N_ALIGN --------------------------------------------------
             m = ok & (node0 == N_ALIGN)
-            acc = jnp.where(m, (acc << 1) | bit, acc)
-            rev = jnp.where(m, rev | (bit * mbyte), rev)
-            mbyte = jnp.where(m, mbyte << 1, mbyte)
-            cnt = jnp.where(m, cnt - 1, cnt)
             done_al = m & (cnt == 0)
 
             # -------- merged distance finish + copy start ------------------
@@ -620,7 +714,7 @@ def decode_segments_vmem2(
 
             covered = (
                 (cin >= tile_base)
-                & (cin + 5 + cfg.MAINT + 8 <= tile_base + TILE)
+                & (cin + 5 + cfg.TB * cfg.MAINT + 8 <= tile_base + TILE)
             )
             # Reset chunks park the lane (pending=1); the table blend runs
             # at the next maintenance boundary (same protocol as gen-1 —
@@ -793,7 +887,7 @@ def decode_segments_vmem2(
                     | (pb << 17) | (chunk_i << 20))
             return (node, meta, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
-                    dist, mbyte, prevb, tile_base)
+                    dist, mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w)
 
         def ring_flush(outp):
             """Bulk-copy the ring's resident range into the full window;
@@ -828,6 +922,25 @@ def decode_segments_vmem2(
             st_ref[_TILEBASE_SLOT] = (inp // 128) * 128
             meta = st_ref[_META_SLOT]
             pending = (meta >> 4) & 3
+            if cfg.TB == 2:
+                # retire outstanding deferred prob writes BEFORE the
+                # parked-reset blend below wipes the table — a stale
+                # pending applied after a reset would resurrect old state
+                rows_p = jax.lax.broadcasted_iota(
+                    _I32, (PROB_WORDS, S, M), 0
+                )
+                prob_ref[:] = jnp.where(
+                    rows_p == st_ref[_PW1I_SLOT][None],
+                    st_ref[_PW1W_SLOT][None],
+                    jnp.where(
+                        rows_p == st_ref[_PW0I_SLOT][None],
+                        st_ref[_PW0W_SLOT][None],
+                        prob_ref[:],
+                    ),
+                )
+                neg1 = jnp.zeros((S, M), _I32) - 1
+                st_ref[_PW0I_SLOT] = neg1
+                st_ref[_PW1I_SLOT] = neg1
             p32 = (pending == 1).astype(_I32)[None]
             prob_ref[:] = prob_ref[:] + (PROB_PACKED - prob_ref[:]) * p32
             st_ref[_META_SLOT] = jnp.where(

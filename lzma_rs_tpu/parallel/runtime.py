@@ -530,9 +530,15 @@ def choose_vmem_config(plans: List[DecodePlan]):
     bucket_in = 2048
     while bucket_in < need_in and bucket_in < 65536:
         bucket_in *= 2
+    # TB=2: tree nodes decode two bits per step (second prob pass +
+    # renorm), amortizing every other per-step pass over 2 bits — a
+    # literal costs ~5 steps instead of 9. The input-lookahead tile
+    # grows to cover the doubled worst-case consumption per period.
+    tb = int(os.environ.get("LZMA_RS_TPU_VMEM_TB", "2"))
+    unroll = int(os.environ.get("LZMA_RS_TPU_VMEM_UNROLL", "2"))
     return vd2.KernelConfig2(
-        L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, UNROLL=2, RING=ring,
-        NPS=nps,
+        L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, UNROLL=unroll, RING=ring,
+        NPS=nps, TB=tb, TILE=384 if tb == 2 else 256,
     )
 
 

@@ -20,15 +20,17 @@ import lzma_rs_tpu
 from conftest import read_ref
 
 # (file, level) -> max allowed ours/liblzma size ratio.
-# Baseline r3: foo.txt {1: 0.995, 6: 1.065, 9: 1.042},
-#              range-coder-edge-case {1: 1.032, 6: 1.169, 9: 1.137}.
+# Baseline r3 after the bt4 match finder + DP at levels 6-9:
+#   foo.txt {1: 0.995, 6: 1.028, 9: 1.028},
+#   range-coder-edge-case {1: 1.032, 6: 1.033, 9: 1.033}.
+# (r3 start, hash-chain era: foo 6 was 1.065, rce 6 was 1.169.)
 RATIO_PINS = {
     ("foo.txt", 1): 1.005,
-    ("foo.txt", 6): 1.076,
-    ("foo.txt", 9): 1.052,
+    ("foo.txt", 6): 1.039,
+    ("foo.txt", 9): 1.039,
     ("range-coder-edge-case", 1): 1.042,
-    ("range-coder-edge-case", 6): 1.181,
-    ("range-coder-edge-case", 9): 1.148,
+    ("range-coder-edge-case", 6): 1.044,
+    ("range-coder-edge-case", 9): 1.044,
 }
 
 

@@ -194,3 +194,108 @@ class TestVmem2Dispatch:
             ),
         )
         assert runtime._xz_decode_parallel(c, "tpu-vmem") == data
+
+
+# Two tree-bits per step (TB=2): the step loop decodes a second bit for
+# lanes inside multi-bit tree walks. Full bit-exactness re-run over the
+# state-heavy scenarios.
+CFG_TB2 = dataclasses.replace(CFG, TB=2, TILE=384)
+CFG_RING_TB2 = dataclasses.replace(CFG_RING, TB=2, TILE=384)
+
+
+class TestVmem2TwoBits:
+    def test_text(self):
+        data = read_ref("foo.txt")[:3000]
+        assert _decode(_rawlzma2(data), CFG_TB2) == data
+
+    def test_runs_and_reps(self):
+        data = (b"\x00" * 700 + b"abcabcabc" * 60 + b"\xff" * 500) * 2
+        assert _decode(_rawlzma2(data), CFG_TB2) == data
+
+    def test_binary_patterns(self):
+        data = bytes(range(256)) * 12
+        assert _decode(_rawlzma2(data), CFG_TB2) == data
+
+    def test_lp_pb_variants(self):
+        data = read_ref("foo.txt")[:2500]
+        assert _decode(_rawlzma2(data, lc=1, lp=2, pb=1), CFG_TB2) == data
+
+    def test_lc0(self):
+        data = read_ref("foo.txt")[:2500]
+        assert _decode(_rawlzma2(data, lc=0, lp=0, pb=0), CFG_TB2) == data
+
+    def test_matched_literals_random(self):
+        # random-ish data maximizes matched-literal (LITM) traffic and
+        # mismatch drops mid-tree — the trickiest TB=2 path
+        import random
+
+        random.seed(11)
+        base = bytes(random.randrange(256) for _ in range(800))
+        data = base + base[:500] + bytes(
+            random.randrange(256) for _ in range(700)
+        ) + base[100:600]
+        assert _decode(_rawlzma2(data), CFG_TB2) == data
+
+    def test_multi_chunk_one_segment(self):
+        data = read_ref("foo.txt")[:3000]
+        stream = _own_lzma2(data, chunk_size=1024)
+        assert _decode(stream, CFG_TB2) == data
+
+    def test_stored_chunk_inside_segment(self):
+        import random
+
+        random.seed(3)
+        rnd = bytes(random.randrange(256) for _ in range(1024))
+        data = read_ref("foo.txt")[:1024] + rnd + read_ref("foo.txt")[:1024]
+        stream = _own_lzma2(data, chunk_size=1024)
+        assert _decode(stream, CFG_TB2) == data
+
+    def test_multi_segment(self):
+        d1 = read_ref("foo.txt")[:2000]
+        d2 = (read_ref("small.txt") * 8)[:2000]
+        stream = _rawlzma2(d1)[:-1] + _rawlzma2(d2)
+        assert _decode(stream, CFG_TB2) == d1 + d2
+
+    def test_ring_tpu_profile(self):
+        data = read_ref("foo.txt")[:3000]
+        stream = _own_lzma2(data, chunk_size=1024, props=0, dist_cap=1024)
+        assert _decode(stream, CFG_RING_TB2) == data
+
+    def test_ring_miss_retries_full_window(self):
+        data = read_ref("foo.txt")[:3000]
+        s = _rawlzma2(data, lc=0, lp=0, pb=0)
+        assert _decode(s, CFG_RING_TB2) == data
+
+    def test_corrupt_stream_flags_error(self):
+        data = read_ref("foo.txt")[:2000]
+        s = bytearray(_rawlzma2(data))
+        s[len(s) // 2] ^= 0xFF
+        plan, _ = runtime.plan_lzma2_stream(bytes(s), 0, 0)
+        try:
+            out = runtime.execute_plan_vmem(
+                bytes(s), [plan], config=CFG_TB2, interpret=True
+            )
+        except runtime._KernelError:
+            return
+        assert out != data
+
+    def test_truncated_stream_flags_eof(self):
+        data = read_ref("foo.txt")[:2000]
+        s = _rawlzma2(data)
+        plan, _ = runtime.plan_lzma2_stream(s, 0, 0)
+        # cut compressed payload mid-chunk: the kernel must flag an error
+        # (EOF mid-symbol), never hang or fabricate output
+        lane = plan.lanes[0]
+        lane.in_end[-1] -= 40
+        with pytest.raises(runtime._KernelError):
+            runtime.execute_plan_vmem(s, [plan], config=CFG_TB2,
+                                      interpret=True)
+
+    def test_vs_tb1_identical(self):
+        data = (read_ref("small.txt") * 30)[:3500]
+        s = _rawlzma2(data)
+        assert _decode(s, CFG_TB2) == _decode(s, CFG)
+
+    def test_config_validation(self):
+        with pytest.raises(AssertionError, match="TILE"):
+            dataclasses.replace(CFG, TB=2)  # TILE=256 too small
