@@ -94,7 +94,7 @@ _SLOTS = (
     "node", "meta", "rng", "cod", "inp", "inend", "outp", "outend",
     "state", "rep0", "rep1", "rep2", "rep3", "acc", "cnt", "tmp", "rev",
     "length", "dist", "mbyte", "prevb", "tile_base",
-    "pw0i", "pw0w", "pw1i", "pw1w",
+    "pw0i", "pw0w", "pw1i", "pw1w", "wwi", "www",
 )
 NSLOT = len(_SLOTS)
 _OUTP_SLOT = _SLOTS.index("outp")
@@ -106,6 +106,8 @@ _PW0I_SLOT = _SLOTS.index("pw0i")
 _PW0W_SLOT = _SLOTS.index("pw0w")
 _PW1I_SLOT = _SLOTS.index("pw1i")
 _PW1W_SLOT = _SLOTS.index("pw1w")
+_WWI_SLOT = _SLOTS.index("wwi")
+_WWW_SLOT = _SLOTS.index("www")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,6 +224,7 @@ def decode_segments_vmem2(
         st_ref[2] = zt - 1  # rng = 0xFFFFFFFF
         st_ref[_PW0I_SLOT] = zt - 1  # no pending prob writes
         st_ref[_PW1I_SLOT] = zt - 1
+        st_ref[_WWI_SLOT] = zt - 1  # no pending window/ring write
 
         def load_state():
             return tuple(st_ref[i] for i in range(NSLOT))
@@ -260,6 +263,30 @@ def decode_segments_vmem2(
             word = onehot_read_word(tile_ref[:], off >> 2, TILE_WORDS)
             return _extract_byte(word, off & 3)
 
+        def in_group(off):
+            """32-bit little-endian group at tile offset ``off``: ONE
+            traversal of the lookahead tile selects the two straddling
+            words; alignment shifts assemble the group (same trick as the
+            window port). Replaces up to four single-byte one-hot
+            traversals per step."""
+            i0 = off >> 2
+            rows_t = jax.lax.broadcasted_iota(_I32, (TILE_WORDS, S, M), 0)
+            s0 = jnp.where(rows_t == i0[None], tile_ref[:], 0)
+            s1 = jnp.where(rows_t == (i0 + 1)[None], tile_ref[:], 0)
+            wa = jnp.sum(s0, axis=0).astype(_U32)
+            wb = jnp.sum(s1, axis=0).astype(_U32)
+            a = off & 3
+            return jnp.where(
+                a == 0, wa,
+                jnp.where(
+                    a == 1, (wa >> 8) | (wb << 24),
+                    jnp.where(
+                        a == 2, (wa >> 16) | (wb << 16),
+                        (wa >> 24) | (wb << 8),
+                    ),
+                ),
+            )
+
         def refill(inp):
             """Row-aligned lookahead refill (see gen-1 docstring)."""
             if "refill" in _ABLATE:
@@ -280,7 +307,8 @@ def decode_segments_vmem2(
             # group). Semantics identical to gen-1's step().
             (node0, meta0, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
-             mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w) = carry
+             mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
+             wwi, www) = carry
             err = meta0 & 15
             pending = (meta0 >> 4) & 3
             len_rep = (meta0 >> 6) & 1
@@ -308,6 +336,10 @@ def decode_segments_vmem2(
             # renormalization; every other per-step pass amortizes.
             node = node0
             bit0 = jnp.zeros_like(node0)
+            # the step consumes at most TB input bytes, at inp and inp+1:
+            # fetch both with one tile traversal instead of one per bit
+            inp_step0 = inp
+            ren_grp = in_group(inp - tile_base)
             for j in range(cfg.TB):
                 is_lit_j = (node == N_LIT) | (node == N_LITM)
                 is_direct_j = node == N_DIRECT
@@ -438,7 +470,9 @@ def decode_segments_vmem2(
                 err = jnp.where(eof & (err == ERR_NONE), ERR_EOF, err)
                 node = jnp.where(eof, N_ERROR, node)
                 do = need & can
-                byte_in = in_byte(inp, tile_base).astype(_U32)
+                byte_in = jnp.where(
+                    inp == inp_step0, ren_grp & 0xFF, (ren_grp >> 8) & 0xFF
+                ).astype(_U32)
                 rng_u = jnp.where(do, rng_u << 8, rng_u)
                 cod_u = jnp.where(do, (cod_u << 8) ^ byte_in, cod_u)
                 inp = jnp.where(do, inp + 1, inp)
@@ -736,11 +770,13 @@ def decode_segments_vmem2(
             lp = jnp.where(go, clp, lp)
             pb = jnp.where(go, cpb, pb)
 
-            b1 = in_byte(cin + 1, tile_base).astype(_U32)
-            b2 = in_byte(cin + 2, tile_base).astype(_U32)
-            b3 = in_byte(cin + 3, tile_base).astype(_U32)
-            b4 = in_byte(cin + 4, tile_base).astype(_U32)
-            code0 = ((b1 << 24) | (b2 << 16) | (b3 << 8) | b4).astype(_I32)
+            cgrp = in_group(cin + 1 - tile_base)
+            code0 = (
+                ((cgrp & 0xFF) << 24)
+                | (((cgrp >> 8) & 0xFF) << 16)
+                | (((cgrp >> 16) & 0xFF) << 8)
+                | ((cgrp >> 24) & 0xFF)
+            ).astype(_I32)
             rng = jnp.where(go, -1, rng)  # 0xFFFFFFFF
             cod = jnp.where(go, code0, cod)
             inp = jnp.where(go, cin + 5, inp)
@@ -761,16 +797,21 @@ def decode_segments_vmem2(
             )
             port_pos = jnp.clip(port_pos, 0, W - 1)
             pw_idx = port_pos >> 2
+            NW = RW_WORDS if cfg.RING else WIN_WORDS
+            wref = ring_ref if cfg.RING else win_ref
+            pw_rows = jax.lax.broadcasted_iota(_I32, (NW, S, M), 0)
+            # retire last step's pending window write here, merged with
+            # the port pass: one blend traversal applies it and the port
+            # selects read the blended view (deferring removes the
+            # separate RMW write traversal the window write used to pay)
+            if "winwrite" not in _ABLATE:
+                wref[:] = jnp.where(pw_rows == wwi[None], www[None],
+                                    wref[:])
+                wwi = zt - 1
             if "port" in _ABLATE:
-                pw_rows = jax.lax.broadcasted_iota(
-                    _I32, (RW_WORDS if cfg.RING else WIN_WORDS, S, M), 0
-                )
                 w0 = pw_idx * 0
                 w1 = w0
             elif cfg.RING:
-                pw_rows = jax.lax.broadcasted_iota(
-                    _I32, (RW_WORDS, S, M), 0
-                )
                 r0_ = pw_idx & (RW_WORDS - 1)
                 r1_ = (pw_idx + 1) & (RW_WORDS - 1)
                 w0 = jnp.sum(
@@ -782,9 +823,6 @@ def decode_segments_vmem2(
                     axis=0,
                 )
             else:
-                pw_rows = jax.lax.broadcasted_iota(
-                    _I32, (WIN_WORDS, S, M), 0
-                )
                 w0 = jnp.sum(
                     jnp.where(pw_rows == pw_idx[None], win_ref[:], 0),
                     axis=0,
@@ -850,21 +888,18 @@ def decode_segments_vmem2(
             widx = outp_w >> 2
             if "winwrite" in _ABLATE:
                 pass
-            elif cfg.RING:
-                widx_r = widx & (RW_WORDS - 1)
-                old_w = onehot_read_word(ring_ref[:], widx_r, RW_WORDS)
-                new_w = (
-                    (old_w.astype(_U32) & ~maskp) | placed
-                ).astype(_I32)
-                sel = (pw_rows == widx_r[None]) & wmask[None]
-                ring_ref[:] = jnp.where(sel, new_w[None], ring_ref[:])
             else:
-                old_w = onehot_read_word(win_ref[:], widx, WIN_WORDS)
+                widx_t = widx & (RW_WORDS - 1) if cfg.RING else widx
+                old_w = onehot_read_word(wref[:], widx_t, NW)
                 new_w = (
                     (old_w.astype(_U32) & ~maskp) | placed
                 ).astype(_I32)
-                sel = (pw_rows == widx[None]) & wmask[None]
-                win_ref[:] = jnp.where(sel, new_w[None], win_ref[:])
+                # enqueue; the next step's port pass retires it (reads in
+                # between never target the in-flight output word: port
+                # positions are < outp for copies/matched literals and
+                # the chunk-gap read is a completed position)
+                wwi = jnp.where(wmask, widx_t, -1)
+                www = new_w
             outp = jnp.where(wmask, outp + wcnt, outp)
 
             lastb = jnp.where(
@@ -887,7 +922,23 @@ def decode_segments_vmem2(
                     | (pb << 17) | (chunk_i << 20))
             return (node, meta, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
-                    dist, mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w)
+                    dist, mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
+                    wwi, www)
+
+        def flush_pending_window():
+            """Apply the deferred window/ring write held in the wwi/www
+            slots (normally retired by the next step's port pass); must
+            run before any bulk read of the window — maintenance and
+            final ring flushes, and the kernel epilogue (win_ref is the
+            output buffer)."""
+            NW = RW_WORDS if cfg.RING else WIN_WORDS
+            wref = ring_ref if cfg.RING else win_ref
+            rows_w = jax.lax.broadcasted_iota(_I32, (NW, S, M), 0)
+            wref[:] = jnp.where(
+                rows_w == st_ref[_WWI_SLOT][None],
+                st_ref[_WWW_SLOT][None], wref[:],
+            )
+            st_ref[_WWI_SLOT] = jnp.zeros((S, M), _I32) - 1
 
         def ring_flush(outp):
             """Bulk-copy the ring's resident range into the full window;
@@ -946,6 +997,7 @@ def decode_segments_vmem2(
             st_ref[_META_SLOT] = jnp.where(
                 pending == 1, (meta & ~0x30) | (2 << 4), meta
             )
+            flush_pending_window()
             if cfg.RING and "flush" not in _ABLATE:
                 ring_flush(st_ref[_OUTP_SLOT])
 
@@ -974,6 +1026,7 @@ def decode_segments_vmem2(
         final_it, _ = jax.lax.while_loop(
             cond, outer_body, (jnp.zeros((), _I32), jnp.int32(1))
         )
+        flush_pending_window()
         if cfg.RING:
             ring_flush(st_ref[_OUTP_SLOT])  # final partial-period flush
         err_ref[:] = (st_ref[_META_SLOT] & 15)[None]
