@@ -516,13 +516,15 @@ def choose_vmem_config(plans: List[DecodePlan]):
             # cost; production lane counts would take minutes per batch
             L = 8
         elif bucket <= 8192:
-            L = 1024
+            # S=16 lane tiles: +20% over L=1024 on v5e (7.99 us/step at
+            # 2048 lanes = 75.3 MB/s/chip, docs/DESIGN.md round-3 table)
+            L = 2048
         elif bucket <= 16384:
             L = 512
-        elif bucket <= 32768:
-            L = 256
         else:
-            L = 128
+            # 32-64 KiB windows: ~96 KB VMEM per lane (window + input +
+            # NLIT=8 tables); 256 lanes ~= 28 MB, well inside the budget
+            L = 256
     # Independent (usually smaller) input bucket: compressed payloads are
     # ~2-5x smaller than the window, and the staged-input H2D transfer
     # scales with W_IN (the axon tunnel moves ~25-30 MB/s, so transfer

@@ -151,3 +151,48 @@ class TestWindowBucketDecoupling:
         cfg = runtime.choose_vmem_config([plan])
         assert cfg.W == 2048
         assert cfg.W_IN == 4096
+
+
+class TestDevBench:
+    def test_stage_first_batch_cpu(self):
+        """devbench staging mirrors the runtime's packed layouts; the
+        staged batch decodes bit-exact through the kernel (interpret)."""
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        jax.config.update("jax_platforms", "cpu")
+        from lzma_rs_tpu.ops.vmem2_decoder import (
+            KernelConfig2, decode_segments_vmem2,
+        )
+        from lzma_rs_tpu.parallel import devbench
+
+        data = read_ref("foo.txt")[:6000]
+        arch = lzma_rs_tpu.xz_compress(
+            data, block_size=2048, tpu_profile=True, check_method=1
+        )
+        cfg = KernelConfig2(L=8, W=2048, W_IN=2048, NLIT=1, K=4,
+                            NPS=4, TB=2, TILE=384)
+        cfg2, dev_args, out_bytes = devbench.stage_first_batch(arch, cfg)
+        assert out_bytes == len(data)
+        max_iters = 8 * cfg.W_IN + 2 * cfg.W + cfg.MAINT * 16 + 1024
+        win, err, outp, iters = decode_segments_vmem2(
+            *dev_args, config=cfg, max_iters=max_iters, interpret=True
+        )
+        assert not np.asarray(err)[0].any()
+        # lanes were sorted by packed size; re-derive to compare
+        from lzma_rs_tpu.parallel import runtime
+
+        plans = runtime.plan_xz(arch)[0]
+        lanes = [l for p in plans for l in p.lanes]
+        lanes.sort(
+            key=lambda l: sum(e - s for s, e in zip(l.in_start, l.in_end)),
+            reverse=True,
+        )
+        win_np = np.ascontiguousarray(np.asarray(win).T).view(np.uint8)
+        for i, lane in enumerate(lanes):
+            n = lane.out_end[-1] - lane.seg_base
+            assert win_np[i, :n].tobytes() == data[
+                lane.seg_base : lane.seg_base + n
+            ]
