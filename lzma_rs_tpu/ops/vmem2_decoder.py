@@ -387,30 +387,79 @@ def decode_segments_vmem2(
                 phalf = pidx & 1
                 if "probread" in _ABLATE:
                     pword = pword_idx * 0 + PROB_PACKED
+                    if cfg.TB == 2 and j == 0:
+                        u0w = pword
+                        u1w = pword
+                        idx2_b0 = pidx
+                        idx2_b1 = pidx
+                elif cfg.TB == 2:
+                    if j == 0:
+                        if "probwrite" not in _ABLATE:
+                            # retire the previous step's pendings with ONE
+                            # blend traversal (newest outermost); the
+                            # selects below read the blended table, so no
+                            # read fix-ups are needed
+                            prob_ref[:] = jnp.where(
+                                prob_rows == pw1i[None], pw1w[None],
+                                jnp.where(
+                                    prob_rows == pw0i[None], pw0w[None],
+                                    prob_ref[:],
+                                ),
+                            )
+                            pw0i = zt - 1
+                            pw1i = zt - 1
+                        # Speculative child prefetch: for every tree node
+                        # the SECOND bit's probability index is a pure
+                        # function of pre-bit1 state and bit1's value
+                        # (counted trees: tmp + 2*acc + b; literals:
+                        # row + 2*acc + b on the plain or matched subtree
+                        # chosen by whether b matches the current match
+                        # bit). Selecting both candidate words in the
+                        # same traversal as bit1's word removes bit2's
+                        # entire table pass (docs/KERNEL_r03.md).
+                        acc2 = acc << 1
+                        row = lit_ctx * LIT_ROW
+                        mb_cur = (mbyte >> 7) & 1
+                        mb_next = (mbyte >> 6) & 1
+                        litm_cont = row + ((1 + mb_next) << 8) + acc2
+                        plain = row + acc2
+                        is_litm = node == N_LITM
+                        l2b0 = jnp.where(
+                            is_litm & (mb_cur == 0), litm_cont, plain
+                        )
+                        l2b1 = jnp.where(
+                            is_litm & (mb_cur == 1), litm_cont, plain
+                        ) + 1
+                        t2 = jnp.clip(tmp + acc2, 0, H_TOTAL - 2)
+                        idx2_b0 = jnp.where(
+                            is_lit_j,
+                            HOT_W + jnp.clip(l2b0, 0, LIT_W - 1), t2,
+                        )
+                        idx2_b1 = jnp.where(
+                            is_lit_j,
+                            HOT_W + jnp.clip(l2b1, 0, LIT_W - 1), t2 + 1,
+                        )
+                        pword = onehot_read_word(
+                            prob_ref[:], pword_idx, PROB_WORDS
+                        )
+                        u0w = onehot_read_word(
+                            prob_ref[:], idx2_b0 >> 1, PROB_WORDS
+                        )
+                        u1w = onehot_read_word(
+                            prob_ref[:], idx2_b1 >> 1, PROB_WORDS
+                        )
+                    else:
+                        # j == 1: no table traversal — bit1 chose between
+                        # the prefetched candidate words; bit1's own
+                        # update may share the word (register fix-up)
+                        pidx = jnp.where(bit0 == 1, idx2_b1, idx2_b0)
+                        pword_idx = pidx >> 1
+                        phalf = pidx & 1
+                        pword = jnp.where(bit0 == 1, u1w, u0w)
+                        pword = jnp.where(pword_idx == pw0i, pw0w, pword)
                 else:
                     pword = onehot_read_word(prob_ref[:], pword_idx,
                                              PROB_WORDS)
-                    if cfg.TB == 2:
-                        # deferred writes: reads see outstanding updates
-                        # via a per-lane fix-up (newest pending first)
-                        pword = jnp.where(pword_idx == pw1i, pw1w, pword)
-                        pword = jnp.where(
-                            (pword_idx == pw0i) & (pw0i != pw1i),
-                            pw0w, pword,
-                        )
-                if cfg.TB == 2 and j == 0 and "probwrite" not in _ABLATE:
-                    # retire the previous step's two pending updates with
-                    # ONE blend traversal (newest outermost), then clear
-                    # them so later fix-ups never resurrect stale values
-                    prob_ref[:] = jnp.where(
-                        prob_rows == pw1i[None], pw1w[None],
-                        jnp.where(
-                            prob_rows == pw0i[None], pw0w[None],
-                            prob_ref[:],
-                        ),
-                    )
-                    pw0i = zt - 1
-                    pw1i = zt - 1
                 p = jnp.where(
                     phalf == 1, (pword >> 16) & 0xFFFF, pword & 0xFFFF
                 ).astype(_U32)
