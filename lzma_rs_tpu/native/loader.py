@@ -311,6 +311,50 @@ def _pgo_train(so_path: str) -> None:
                              ctypes.byref(n), ctypes.byref(consumed), err)
         lib.lrt_free(buf)
 
+    # Also train the production decode entrypoint (FlatOut segments +
+    # the register-local fast loop): scan the LZMA2 chunk headers and
+    # drive lrt_lzma2_decode_segment over the whole stream.
+    class _Chunk(ctypes.Structure):
+        _fields_ = [
+            ("in_start", ctypes.c_uint64), ("in_end", ctypes.c_uint64),
+            ("out_start", ctypes.c_uint64), ("out_end", ctypes.c_uint64),
+            ("reset_state", ctypes.c_int32), ("lc", ctypes.c_int32),
+            ("lp", ctypes.c_int32), ("pb", ctypes.c_int32),
+        ]
+
+    lib.lrt_lzma2_decode_segment.restype = ctypes.c_int
+    lib.lrt_lzma2_decode_segment.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_Chunk),
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+    ]
+    chunks, pos, out_pos = [], 0, 0
+    lc = lp = pb = 0
+    ok = True
+    while pos < len(comp) and comp[pos] != 0:
+        c = comp[pos]
+        if c < 0x80:  # uncompressed chunk: not emitted for text corpora
+            ok = False
+            break
+        unpacked = ((c & 0x1F) << 16) + (comp[pos + 1] << 8) + comp[pos + 2] + 1
+        packed = (comp[pos + 3] << 8) + comp[pos + 4] + 1
+        reset = (c >> 5) & 3
+        hdr = 5
+        if reset >= 2:
+            p = comp[pos + 5]
+            lc, lp, pb = p % 9, (p // 9) % 5, p // 45
+            hdr = 6
+        chunks.append(_Chunk(pos + hdr, pos + hdr + packed, out_pos,
+                             out_pos + unpacked, 1 if reset else 0,
+                             lc, lp, pb))
+        out_pos += unpacked
+        pos += hdr + packed
+    if ok and chunks:
+        arr = (_Chunk * len(chunks))(*chunks)
+        out = ctypes.create_string_buffer(out_pos)
+        for _ in range(3):
+            lib.lrt_lzma2_decode_segment(comp, len(comp), arr, len(chunks),
+                                         out, out_pos, err)
+
 
 def build(force: bool = False) -> bool:
     """Compile the native library (two-stage PGO; ~+17% on the decode hot

@@ -611,6 +611,329 @@ struct DecoderState {
     return e.ok();
   }
 
+  // Register-local fast symbol loop for the flat (segment) output path.
+  //
+  // The generic per-symbol path re-reads the range coder and decoder
+  // state through memory after every output write: FlatOut stores
+  // through `uint8_t*`, and char-typed stores may alias *anything* in
+  // C++, so the compiler must spill/reload `rc.range/code/pos`, `state`
+  // and the reps around each one. liblzma sidesteps this by caching the
+  // coder in locals for the whole loop (lzma_decoder.c's rc_to_local);
+  // same idea here. Runs symbols while >= 2*kMaxRequiredInput input
+  // bytes remain (so all reads are unchecked, cf. lzma.rs:9-13) and the
+  // chunk's unpacked size is not reached, then writes state back for
+  // the generic loop to finish the tail. Error strings are byte-equal
+  // to the generic path's (reference parity, tests/test_errors.py).
+  bool process_fast(FlatOut& o, RangeDecoder& rc, Err& e) {
+    uint32_t range = rc.range, code = rc.code;
+    const uint8_t* const ibuf = rc.buf;
+    size_t ipos = rc.pos;
+    const size_t isafe = rc.end - 2 * size_t(kMaxRequiredInput);
+    uint8_t* const obase = o.base;
+    size_t opos = size_t(o.pos);
+    const size_t ocap = size_t(o.cap);
+    // literal stores below elide the per-byte cap check; cap the loop so
+    // they stay in-bounds even if unpacked_size overshoots the buffer
+    // (the generic tail path then reports the parity error string)
+    const size_t olimit =
+        size_t(unpacked_size) < ocap ? size_t(unpacked_size) : ocap;
+    unsigned st_ = unsigned(state);
+    size_t r0 = size_t(rep[0]), r1 = size_t(rep[1]), r2 = size_t(rep[2]),
+           r3 = size_t(rep[3]);
+    uint16_t* const P = probs.data();
+    uint16_t* const Plit = P + layout.lit;
+    const size_t off_is_match = layout.is_match, off_is_rep = layout.is_rep,
+                 off_g0 = layout.is_rep_g0, off_g1 = layout.is_rep_g1,
+                 off_g2 = layout.is_rep_g2, off_0long = layout.is_rep_0long,
+                 off_slot = layout.pos_slot, off_spec = layout.spec_pos,
+                 off_align = layout.align, off_len = layout.len_coder,
+                 off_rlen = layout.rep_len_coder;
+    const size_t pbmask = (size_t(1) << pb) - 1;
+    const size_t lpmask = (size_t(1) << lp) - 1;
+    const int lc_ = lc;
+
+#define LRT_RC_BIT(probp, bitvar)                                        \
+  do {                                                                   \
+    uint16_t* pp_ = (probp);                                             \
+    uint32_t pv_ = *pp_;                                                 \
+    uint32_t bound_ = (range >> 11) * pv_;                               \
+    if (code < bound_) {                                                 \
+      range = bound_;                                                    \
+      *pp_ = uint16_t(pv_ + ((0x800 - pv_) >> 5));                       \
+      bitvar = 0;                                                        \
+    } else {                                                             \
+      code -= bound_;                                                    \
+      range -= bound_;                                                   \
+      *pp_ = uint16_t(pv_ - (pv_ >> 5));                                 \
+      bitvar = 1;                                                        \
+    }                                                                    \
+    if (range < 0x0100'0000u) {                                          \
+      range <<= 8;                                                       \
+      code = (code << 8) ^ ibuf[ipos++];                                 \
+    }                                                                    \
+  } while (0)
+
+    while (opos < olimit && ipos <= isafe) {
+      const size_t pos_state = opos & pbmask;
+      unsigned bit;
+      LRT_RC_BIT(&P[off_is_match + (size_t(st_) << 4) + pos_state], bit);
+      if (!bit) {
+        // Literal (lzma.rs:526-561)
+        const unsigned prev = opos ? obase[opos - 1] : 0;
+        uint16_t* const pl =
+            Plit + (((opos & lpmask) << lc_) + (prev >> (8 - lc_))) * 0x300;
+        unsigned result = 1;
+        if (st_ < 7) {
+          // plain literal: straight-line 8-bit tree walk (no backedge)
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          LRT_RC_BIT(&pl[result], bit); result = (result << 1) ^ bit;
+          obase[opos++] = uint8_t(result);  // == result - 0x100
+          st_ = st_ < 4 ? 0 : st_ - 3;
+          continue;
+        }
+        if (r0 + 1 > opos) {
+          e = {1, "Match distance " + std::to_string(r0 + 1) +
+                      " is beyond output size " + std::to_string(opos)};
+          goto out;
+        }
+        unsigned match_byte = obase[opos - r0 - 1];
+        do {
+          const unsigned match_bit = (match_byte >> 7) & 1;
+          match_byte = (match_byte << 1) & 0xFF;
+          LRT_RC_BIT(&pl[((1 + match_bit) << 8) + result], bit);
+          result = (result << 1) ^ bit;
+          if (match_bit != bit) break;
+        } while (result < 0x100);
+        while (result < 0x100) {
+          LRT_RC_BIT(&pl[result], bit);
+          result = (result << 1) ^ bit;
+        }
+        obase[opos++] = uint8_t(result);  // == result - 0x100
+        st_ = st_ < 10 ? st_ - 3 : st_ - 6;
+        continue;
+      }
+
+      size_t len;
+      LRT_RC_BIT(&P[off_is_rep + st_], bit);
+      if (bit) {
+        // Repeated distance
+        LRT_RC_BIT(&P[off_g0 + st_], bit);
+        if (!bit) {
+          LRT_RC_BIT(&P[off_0long + (size_t(st_) << 4) + pos_state], bit);
+          if (!bit) {
+            // 1-byte short rep (lzma.rs:334-339)
+            st_ = st_ < 7 ? 9 : 11;
+            const size_t dist = r0 + 1;
+            if (dist > opos) {
+              e = {1, "LZ distance " + std::to_string(dist) +
+                          " is beyond output size " + std::to_string(opos)};
+              goto out;
+            }
+            if (opos + 1 > ocap) {
+              e = {1, "Expected unpacked size of " + std::to_string(ocap) +
+                          " but decompressed to more"};
+              goto out;
+            }
+            obase[opos] = obase[opos - dist];
+            opos++;
+            continue;
+          }
+        } else {
+          size_t dist;
+          LRT_RC_BIT(&P[off_g1 + st_], bit);
+          if (!bit) {
+            dist = r1;
+            r1 = r0;
+          } else {
+            LRT_RC_BIT(&P[off_g2 + st_], bit);
+            if (!bit) {
+              dist = r2;
+            } else {
+              dist = r3;
+              r3 = r2;
+            }
+            r2 = r1;
+            r1 = r0;
+          }
+          r0 = dist;
+        }
+        // rep len coder
+        uint16_t* const B = P + off_rlen;
+        LRT_RC_BIT(&B[kLenChoice], bit);
+        unsigned tmp = 1;
+        if (!bit) {
+          uint16_t* const low = B + kLenLow + pos_state * 8;
+          LRT_RC_BIT(&low[1], bit);
+          tmp = 2 ^ bit;
+          LRT_RC_BIT(&low[tmp], bit);
+          tmp = (tmp << 1) ^ bit;
+          LRT_RC_BIT(&low[tmp], bit);
+          len = ((tmp << 1) ^ bit) - 8;
+        } else {
+          LRT_RC_BIT(&B[kLenChoice2], bit);
+          if (!bit) {
+            uint16_t* const mid = B + kLenMid + pos_state * 8;
+            for (int i = 0; i < 3; i++) {
+              LRT_RC_BIT(&mid[tmp], bit);
+              tmp = (tmp << 1) ^ bit;
+            }
+            len = (tmp - 8) + 8;
+          } else {
+            uint16_t* const high = B + kLenHigh;
+            for (int i = 0; i < 8; i++) {
+              LRT_RC_BIT(&high[tmp], bit);
+              tmp = (tmp << 1) ^ bit;
+            }
+            len = (tmp - 0x100) + 16;
+          }
+        }
+        st_ = st_ < 7 ? 8 : 11;
+      } else {
+        // New distance
+        r3 = r2;
+        r2 = r1;
+        r1 = r0;
+        uint16_t* const B = P + off_len;
+        LRT_RC_BIT(&B[kLenChoice], bit);
+        unsigned tmp = 1;
+        if (!bit) {
+          uint16_t* const low = B + kLenLow + pos_state * 8;
+          for (int i = 0; i < 3; i++) {
+            LRT_RC_BIT(&low[tmp], bit);
+            tmp = (tmp << 1) ^ bit;
+          }
+          len = tmp - 8;
+        } else {
+          LRT_RC_BIT(&B[kLenChoice2], bit);
+          if (!bit) {
+            uint16_t* const mid = B + kLenMid + pos_state * 8;
+            for (int i = 0; i < 3; i++) {
+              LRT_RC_BIT(&mid[tmp], bit);
+              tmp = (tmp << 1) ^ bit;
+            }
+            len = (tmp - 8) + 8;
+          } else {
+            uint16_t* const high = B + kLenHigh;
+            for (int i = 0; i < 8; i++) {
+              LRT_RC_BIT(&high[tmp], bit);
+              tmp = (tmp << 1) ^ bit;
+            }
+            len = (tmp - 0x100) + 16;
+          }
+        }
+        st_ = st_ < 7 ? 7 : 10;
+        // distance (lzma.rs:402-433)
+        const size_t len_state = len > 3 ? 3 : len;
+        uint16_t* const ps = P + off_slot + len_state * 64;
+        tmp = 1;
+        for (int i = 0; i < 6; i++) {
+          LRT_RC_BIT(&ps[tmp], bit);
+          tmp = (tmp << 1) ^ bit;
+        }
+        const unsigned pos_slot = tmp - 64;
+        if (pos_slot < 4) {
+          r0 = pos_slot;
+        } else {
+          const int ndb = int(pos_slot >> 1) - 1;
+          uint32_t result = (2u | (pos_slot & 1)) << ndb;
+          if (pos_slot < 14) {
+            uint16_t* const sp = P + off_spec + (result - pos_slot);
+            unsigned t2 = 1, add = 0;
+            for (int i = 0; i < ndb; i++) {
+              LRT_RC_BIT(&sp[t2], bit);
+              t2 = (t2 << 1) ^ bit;
+              add ^= bit << i;
+            }
+            result += add;
+          } else {
+            // direct bits, branchless (rangecoder.rs:55-76 semantics)
+            uint32_t d = 0;
+            for (int i = 0; i < ndb - 4; i++) {
+              range >>= 1;
+              code -= range;
+              const uint32_t mask = uint32_t(int32_t(code) >> 31);
+              code += range & mask;
+              d = (d << 1) + (mask + 1);
+              if (range < 0x0100'0000u) {
+                range <<= 8;
+                code = (code << 8) ^ ibuf[ipos++];
+              }
+            }
+            result += d << 4;
+            uint16_t* const al = P + off_align;
+            unsigned t2 = 1, add = 0;
+            for (int i = 0; i < 4; i++) {
+              LRT_RC_BIT(&al[t2], bit);
+              t2 = (t2 << 1) ^ bit;
+              add ^= bit << i;
+            }
+            result += add;
+          }
+          if (result == 0xFFFFFFFFu) {
+            // EOS marker mid-buffer: >= 2*kMaxRequiredInput bytes remain,
+            // so is_finished_ok() is necessarily false (lzma.rs:421-428)
+            rc.range = range;
+            rc.code = code;
+            rc.pos = ipos;
+            o.pos = opos;
+            o.len = opos;
+            state = int(st_);
+            rep[0] = r0;
+            rep[1] = r1;
+            rep[2] = r2;
+            rep[3] = r3;
+            e = {1, "Found end-of-stream marker but more bytes are available"};
+            return false;
+          }
+          r0 = result;
+        }
+      }
+      len += 2;
+      {
+        const size_t dist = r0 + 1;
+        if (dist > opos) {
+          e = {1, "LZ distance " + std::to_string(dist) +
+                      " is beyond output size " + std::to_string(opos)};
+          goto out;
+        }
+        if (opos + len > ocap) {
+          e = {1, "Expected unpacked size of " + std::to_string(ocap) +
+                      " but decompressed to more"};
+          goto out;
+        }
+        uint8_t* const dst = obase + opos;
+        const uint8_t* const src = dst - dist;
+        if (dist >= len) {
+          memcpy(dst, src, len);
+        } else if (dist == 1) {
+          memset(dst, src[0], len);
+        } else {
+          for (size_t i = 0; i < len; i++) dst[i] = src[i];
+        }
+        opos += len;
+      }
+    }
+  out:
+#undef LRT_RC_BIT
+    rc.range = range;
+    rc.code = code;
+    rc.pos = ipos;
+    o.pos = opos;
+    o.len = opos;
+    state = int(st_);
+    rep[0] = r0;
+    rep[1] = r1;
+    rep[2] = r2;
+    rep[3] = r3;
+    return e.ok();
+  }
+
   // The main loop (lzma.rs:435-524). partial_mode = streaming Partial.
   template <class OUT>
   bool process_mode(OUT& o, RangeDecoder& rc, bool partial_mode,
@@ -653,6 +976,16 @@ struct DecoderState {
           partial_len = remaining;
           rc.pos = rc.end;
           return true;
+        }
+        if constexpr (std::is_same<OUT, FlatOut>::value) {
+          // Bulk of the segment: register-local fast loop (see
+          // process_fast above). Exits at the input/output tail; the
+          // generic per-symbol path below finishes the edges.
+          if (!partial_mode && has_unpacked && o.len < unpacked_size &&
+              o.len < o.cap && remaining >= 2 * kMaxRequiredInput) {
+            if (!process_fast(o, rc, e)) return false;
+            continue;  // re-check termination with updated o.len/rc
+          }
         }
         Status res;
         if (!partial_mode && rc.end - rc.pos >= 2 * kMaxRequiredInput) {

@@ -538,9 +538,18 @@ def choose_vmem_config(plans: List[DecodePlan]):
     # grows to cover the doubled worst-case consumption per period.
     tb = int(os.environ.get("LZMA_RS_TPU_VMEM_TB", "2"))
     unroll = int(os.environ.get("LZMA_RS_TPU_VMEM_UNROLL", "2"))
+    maint = int(os.environ.get("LZMA_RS_TPU_VMEM_MAINT", "64"))
+    tile_default = 384 if tb == 2 else 256
+    # TILE must cover one maintenance period's worst-case input pull
+    # (KernelConfig2.__post_init__): 128 + TB*MAINT + 16, rounded up to
+    # the vreg minor width
+    tile_min = 128 + tb * maint + 16
+    while tile_default < tile_min:
+        tile_default += 128
+    tile = int(os.environ.get("LZMA_RS_TPU_VMEM_TILE", str(tile_default)))
     return vd2.KernelConfig2(
         L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, UNROLL=unroll, RING=ring,
-        NPS=nps, TB=tb, TILE=384 if tb == 2 else 256,
+        NPS=nps, TB=tb, TILE=tile, MAINT=maint,
     )
 
 
