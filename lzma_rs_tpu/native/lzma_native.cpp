@@ -1570,6 +1570,23 @@ struct Cand {
 };
 constexpr int kMaxCands = 24;
 
+// Word-at-a-time match extension: compare 8 bytes per iteration and
+// locate the first differing byte with ctz. All callers bound `limit`
+// by the block end, so the 8-byte loads never read past `data + n`.
+static inline size_t extend_match(const uint8_t* a, const uint8_t* b,
+                                  size_t l, size_t limit) {
+  while (l + 8 <= limit) {
+    uint64_t x, y;
+    memcpy(&x, a + l, 8);
+    memcpy(&y, b + l, 8);
+    const uint64_t d = x ^ y;
+    if (d) return l + (size_t(__builtin_ctzll(d)) >> 3);
+    l += 8;
+  }
+  while (l < limit && a[l] == b[l]) l++;
+  return l;
+}
+
 // Greedy hash-chain match finder (hash of 4 bytes).
 struct MatchFinder {
   const uint8_t* data;
@@ -1609,8 +1626,7 @@ struct MatchFinder {
       if (dist > max_dist) break;  // chain is position-ordered
       const uint8_t* q = data + cand;
       if (q[best_len] == cur[best_len]) {
-        size_t l = 0;
-        while (l < limit && q[l] == cur[l]) l++;
+        size_t l = extend_match(q, cur, 0, limit);
         if (l > best_len) {
           best_len = uint32_t(l);
           best_dist = uint32_t(dist);
@@ -1703,8 +1719,7 @@ struct Bt4MatchFinder {
       head2[h2v] = int32_t(pos);
       if (out && c2 >= 0 && pos - size_t(c2) <= max_dist) {
         const uint8_t* q = data + c2;
-        size_t l = 0;
-        while (l < search_limit && q[l] == cur[l]) l++;
+        size_t l = extend_match(q, cur, 0, search_limit);
         if (l >= 2) {
           best = uint32_t(l);
           out[n_out++] = {best, uint32_t(pos - size_t(c2))};
@@ -1717,8 +1732,7 @@ struct Bt4MatchFinder {
       head3[h3v] = int32_t(pos);
       if (out && c3 >= 0 && pos - size_t(c3) <= max_dist) {
         const uint8_t* q = data + c3;
-        size_t l = 0;
-        while (l < search_limit && q[l] == cur[l]) l++;
+        size_t l = extend_match(q, cur, 0, search_limit);
         if (l >= 3 && l > best) {
           best = uint32_t(l);
           out[n_out++] = {best, uint32_t(pos - size_t(c3))};
@@ -1742,7 +1756,7 @@ struct Bt4MatchFinder {
       const uint8_t* q = data + cand;
       uint32_t len = len0 < len1 ? len0 : len1;
       if (q[len] == cur[len]) {
-        while (len < tree_limit && q[len] == cur[len]) len++;
+        len = uint32_t(extend_match(q, cur, len, tree_limit));
         uint32_t cl = len < search_limit ? len : uint32_t(search_limit);
         if (out && cl > best && cl >= 2 && n_out < kMaxCands) {
           best = cl;
@@ -1901,8 +1915,7 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       size_t limit = end - start;
       if (limit > kMaxMatchLen) limit = kMaxMatchLen;
       const uint8_t* q = block + start - d0;
-      size_t l = 0;
-      while (l < limit && q[l] == block[start + l]) l++;
+      size_t l = extend_match(q, block + start, 0, limit);
       if (l >= kOptWin || (l >= 2 && l == end - start)) {
         emit_step(block, start, enc, 2, uint32_t(l), uint32_t(d0));
         for (size_t p = start; p < start + l; p++) mf.insert(p);
@@ -1938,8 +1951,7 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       size_t d = size_t(rp[r]) + 1;
       if (d > max_dist) continue;
       const uint8_t* q = block + ap - d;
-      size_t l = 0;
-      while (l < limit && q[l] == block[ap + l]) l++;
+      size_t l = extend_match(q, block + ap, 0, limit);
       if (r == 0 && l >= 1)
         relax(size_t(i) + 1, c + enc.price_shortrep(ps), 1, 1, uint32_t(d));
       if (l < 2) continue;
@@ -2032,8 +2044,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
       size_t dist = size_t(enc.rep[r]) + 1;
       if (dist > max_dist) continue;
       const uint8_t* q = block + pos - dist;
-      size_t l = 0;
-      while (l < limit && q[l] == block[pos + l]) l++;
+      size_t l = extend_match(q, block + pos, 0, limit);
       rep_len[r] = uint32_t(l);
     }
     // normal-match candidates (find_all searches the pre-insert state —
@@ -2172,9 +2183,7 @@ static std::string encode_lzma_chunk(const uint8_t* block, size_t start,
           size_t d0 = size_t(enc.rep[0]) + 1;
           if (pos + 1 >= d0) {
             const uint8_t* q = block + pos + 1 - d0;
-            size_t l = 0;
-            size_t cap = lim2;
-            while (l < cap && q[l] == block[pos + 1 + l]) l++;
+            size_t l = extend_match(q, block + pos + 1, 0, lim2);
             if (l >= size_t(m_len)) use_match = false;
           }
         }
