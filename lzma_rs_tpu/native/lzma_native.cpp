@@ -1453,48 +1453,72 @@ struct LzmaEncoder {
            prtree(4, layout.align, rest & 0xF);
   }
 
+  // The _st variants price from an explicit adaptive (state, rep0)
+  // instead of the encoder's current one: the optimal-parse DP tracks
+  // the state machine and rep LRU per node along each candidate path
+  // (liblzma's lzma_optimum does the same), so prices reflect the path
+  // actually taken rather than the window-entry state.
   uint32_t price_match(size_t pos_state, uint32_t len,
                        uint32_t dist_field) const {
+    return price_match_st(state, pos_state, len, dist_field);
+  }
+
+  uint32_t price_match_st(int st, size_t pos_state, uint32_t len,
+                          uint32_t dist_field) const {
     uint32_t lval = len - 2;
-    return price1(probs[layout.is_match + (size_t(state) << 4) + pos_state]) +
-           price0(probs[layout.is_rep + state]) +
+    return price1(probs[layout.is_match + (size_t(st) << 4) + pos_state]) +
+           price0(probs[layout.is_rep + st]) +
            price_len(layout.len_coder, pos_state, lval) +
            price_dist(lval, dist_field);
   }
 
   uint32_t price_rep(int r, uint32_t len, size_t pos_state) const {
+    return price_rep_st(state, r, len, pos_state);
+  }
+
+  uint32_t price_rep_st(int st, int r, uint32_t len,
+                        size_t pos_state) const {
     uint32_t price =
-        price1(probs[layout.is_match + (size_t(state) << 4) + pos_state]) +
-        price1(probs[layout.is_rep + state]);
+        price1(probs[layout.is_match + (size_t(st) << 4) + pos_state]) +
+        price1(probs[layout.is_rep + st]);
     if (r == 0) {
-      price += price0(probs[layout.is_rep_g0 + state]) +
-               price1(probs[layout.is_rep_0long + (size_t(state) << 4) +
+      price += price0(probs[layout.is_rep_g0 + st]) +
+               price1(probs[layout.is_rep_0long + (size_t(st) << 4) +
                             pos_state]);
     } else {
-      price += price1(probs[layout.is_rep_g0 + state]);
+      price += price1(probs[layout.is_rep_g0 + st]);
       if (r == 1) {
-        price += price0(probs[layout.is_rep_g1 + state]);
+        price += price0(probs[layout.is_rep_g1 + st]);
       } else {
-        price += price1(probs[layout.is_rep_g1 + state]) +
-                 price_bit(probs[layout.is_rep_g2 + state], r == 3);
+        price += price1(probs[layout.is_rep_g1 + st]) +
+                 price_bit(probs[layout.is_rep_g2 + st], r == 3);
       }
     }
     return price + price_len(layout.rep_len_coder, pos_state, len - 2);
   }
 
   uint32_t price_shortrep(size_t pos_state) const {
-    return price1(probs[layout.is_match + (size_t(state) << 4) + pos_state]) +
-           price1(probs[layout.is_rep + state]) +
-           price0(probs[layout.is_rep_g0 + state]) +
-           price0(probs[layout.is_rep_0long + (size_t(state) << 4) +
+    return price_shortrep_st(state, pos_state);
+  }
+
+  uint32_t price_shortrep_st(int st, size_t pos_state) const {
+    return price1(probs[layout.is_match + (size_t(st) << 4) + pos_state]) +
+           price1(probs[layout.is_rep + st]) +
+           price0(probs[layout.is_rep_g0 + st]) +
+           price0(probs[layout.is_rep_0long + (size_t(st) << 4) +
                         pos_state]);
   }
 
   uint32_t price_literal(const uint8_t* block, size_t pos,
                          size_t block_pos) const {
+    return price_literal_st(state, rep[0], block, pos, block_pos);
+  }
+
+  uint32_t price_literal_st(int st, uint32_t rep0, const uint8_t* block,
+                            size_t pos, size_t block_pos) const {
     size_t pos_state = block_pos & ((size_t(1) << pb) - 1);
     uint32_t price =
-        price0(probs[layout.is_match + (size_t(state) << 4) + pos_state]);
+        price0(probs[layout.is_match + (size_t(st) << 4) + pos_state]);
     uint8_t byte = block[pos];
     uint8_t prev = pos > 0 ? block[pos - 1] : 0;
     size_t lit_state =
@@ -1502,8 +1526,8 @@ struct LzmaEncoder {
     const uint16_t* p = &probs[layout.lit + lit_state * 0x300];
     unsigned result = 1;
     int i = 7;
-    if (state >= 7) {
-      unsigned match_byte = block[pos - rep[0] - 1];
+    if (st >= 7) {
+      unsigned match_byte = block[pos - rep0 - 1];
       for (; i >= 0; i--) {
         unsigned match_bit = (match_byte >> 7) & 1;
         match_byte = (match_byte << 1) & 0xFF;
@@ -1819,8 +1843,10 @@ struct OptNode {
   uint64_t cost;
   int32_t from;
   uint8_t kind;  // 0 literal, 1 shortrep, 2 rep(dist), 3 match(dist)
+  uint8_t st;    // adaptive state machine value along the best path here
   uint16_t len;
-  uint32_t dist;  // 1-based distance for kinds 1-3
+  uint32_t dist;     // 1-based distance for kinds 1-3
+  uint32_t reps[4];  // rep LRU (0-based distances) along the best path
 };
 
 constexpr int kOptWin = 128;
@@ -1925,22 +1951,60 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
   }
   const int n = int(std::min<size_t>(kOptWin, end - start));
   static thread_local std::vector<OptNode> nodes;
-  nodes.assign(size_t(n) + 1, OptNode{kInf, -1, 0, 0, 0});
+  nodes.assign(size_t(n) + 1, OptNode{kInf, -1, 0, 0, 0, 0, {0, 0, 0, 0}});
   nodes[0].cost = 0;
-  const uint32_t rp[4] = {enc.rep[0], enc.rep[1], enc.rep[2], enc.rep[3]};
+  nodes[0].st = uint8_t(enc.state);
+  for (int r = 0; r < 4; r++) nodes[0].reps[r] = enc.rep[r];
 
   for (int i = 0; i < n; i++) {
     if (nodes[i].cost == kInf) continue;
     const size_t ap = start + i;
     const size_t ps = ap & ((size_t(1) << enc.pb) - 1);
-    const uint64_t c = nodes[i].cost;
+    const OptNode& ni = nodes[i];
+    const uint64_t c = ni.cost;
+    // Per-node adaptive context (state machine + rep LRU along the best
+    // path into i): prices and rep candidates reflect the path actually
+    // taken, not the window-entry snapshot.
+    const int st = ni.st;
+    const uint32_t rp[4] = {ni.reps[0], ni.reps[1], ni.reps[2], ni.reps[3]};
     auto relax = [&](size_t j, uint64_t cost, uint8_t kind, uint16_t len,
-                     uint32_t dist) {
+                     uint32_t dist, int r) {
       size_t jj = j > size_t(n) ? size_t(n) : j;
-      if (cost < nodes[jj].cost)
-        nodes[jj] = OptNode{cost, int32_t(i), kind, len, dist};
+      OptNode& nd = nodes[jj];
+      if (cost >= nd.cost) return;
+      nd.cost = cost;
+      nd.from = int32_t(i);
+      nd.kind = kind;
+      nd.len = len;
+      nd.dist = dist;
+      switch (kind) {
+        case 0:
+          nd.st = uint8_t(st < 4 ? 0 : (st < 10 ? st - 3 : st - 6));
+          for (int k = 0; k < 4; k++) nd.reps[k] = rp[k];
+          break;
+        case 1:
+          nd.st = uint8_t(st < 7 ? 9 : 11);
+          for (int k = 0; k < 4; k++) nd.reps[k] = rp[k];
+          break;
+        case 2: {
+          nd.st = uint8_t(st < 7 ? 8 : 11);
+          const uint32_t d = rp[r];
+          for (int k = 0; k < 4; k++) nd.reps[k] = rp[k];
+          for (int k = r; k > 0; k--) nd.reps[k] = nd.reps[k - 1];
+          nd.reps[0] = d;
+          break;
+        }
+        default:
+          nd.st = uint8_t(st < 7 ? 7 : 10);
+          nd.reps[0] = dist - 1;
+          nd.reps[1] = rp[0];
+          nd.reps[2] = rp[1];
+          nd.reps[3] = rp[2];
+          break;
+      }
     };
-    relax(size_t(i) + 1, c + enc.price_literal(block, ap, ap), 0, 1, 0);
+    relax(size_t(i) + 1, c + enc.price_literal_st(st, rp[0], block, ap, ap),
+          0, 1, 0, -1);
 
     size_t limit = end - ap;
     if (limit > kMaxMatchLen) limit = kMaxMatchLen;
@@ -1949,19 +2013,20 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
 
     for (int r = 0; r < 4; r++) {
       size_t d = size_t(rp[r]) + 1;
-      if (d > max_dist) continue;
+      if (d > max_dist || d > ap) continue;
       const uint8_t* q = block + ap - d;
       size_t l = extend_match(q, block + ap, 0, limit);
       if (r == 0 && l >= 1)
-        relax(size_t(i) + 1, c + enc.price_shortrep(ps), 1, 1, uint32_t(d));
+        relax(size_t(i) + 1, c + enc.price_shortrep_st(st, ps), 1, 1,
+              uint32_t(d), 0);
       if (l < 2) continue;
       uint32_t lmax = uint32_t(l);
       for (uint32_t len = 2; len <= 8 && len <= lmax; len++)
-        relax(size_t(i) + len, c + enc.price_rep(r, len, ps), 2,
-              uint16_t(len), uint32_t(d));
+        relax(size_t(i) + len, c + enc.price_rep_st(st, r, len, ps), 2,
+              uint16_t(len), uint32_t(d), r);
       if (lmax > 8)
-        relax(size_t(i) + lmax, c + enc.price_rep(r, lmax, ps), 2,
-              uint16_t(lmax), uint32_t(d));
+        relax(size_t(i) + lmax, c + enc.price_rep_st(st, r, lmax, ps), 2,
+              uint16_t(lmax), uint32_t(d), r);
     }
 
     Cand cands[kMaxCands];
@@ -1975,11 +2040,11 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       uint32_t lo = prev_len + 1 < 2 ? 2 : prev_len + 1;
       uint32_t hi = std::min(ml, lo + 6);
       for (uint32_t len = lo; len <= hi; len++)
-        relax(size_t(i) + len, c + enc.price_match(ps, len, md - 1), 3,
-              uint16_t(len), md);
+        relax(size_t(i) + len, c + enc.price_match_st(st, ps, len, md - 1),
+              3, uint16_t(len), md, -1);
       if (ml > hi)
-        relax(size_t(i) + ml, c + enc.price_match(ps, ml, md - 1), 3,
-              uint16_t(ml), md);
+        relax(size_t(i) + ml, c + enc.price_match_st(st, ps, ml, md - 1),
+              3, uint16_t(ml), md, -1);
       prev_len = ml;
     }
   }

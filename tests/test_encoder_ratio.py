@@ -20,17 +20,19 @@ import lzma_rs_tpu
 from conftest import read_ref
 
 # (file, level) -> max allowed ours/liblzma size ratio.
-# Baseline r3 after the bt4 match finder + DP at levels 6-9:
-#   foo.txt {1: 0.995, 6: 1.028, 9: 1.028},
-#   range-coder-edge-case {1: 1.032, 6: 1.033, 9: 1.033}.
-# (r3 start, hash-chain era: foo 6 was 1.065, rce 6 was 1.169.)
+# Baseline r3 after per-node (state, rep-LRU) tracking in the DP:
+#   foo.txt {1: 0.995, 6: 1.020, 9: 1.020},
+#   range-coder-edge-case {1: 1.032, 6: 0.996, 9: 0.996} — binary now
+#   BEATS liblzma at levels 6-9.
+# (bt4+DP era: foo 6 was 1.028, rce 6 was 1.033; hash-chain era:
+#  foo 6 was 1.065, rce 6 was 1.169.)
 RATIO_PINS = {
     ("foo.txt", 1): 1.005,
-    ("foo.txt", 6): 1.039,
-    ("foo.txt", 9): 1.039,
+    ("foo.txt", 6): 1.031,
+    ("foo.txt", 9): 1.031,
     ("range-coder-edge-case", 1): 1.042,
-    ("range-coder-edge-case", 6): 1.044,
-    ("range-coder-edge-case", 9): 1.044,
+    ("range-coder-edge-case", 6): 1.006,
+    ("range-coder-edge-case", 9): 1.006,
 }
 
 
