@@ -335,9 +335,18 @@ struct FlatOut {
   uint64_t pos = 0;  // == accum.len (bytes since segment/dict-reset start)
   uint64_t cap = 0;  // segment capacity (sum of chunk unpacked sizes)
   uint64_t len = 0;  // alias of pos for the shared decode templates
+  // distances beyond the declared dictionary are format errors when the
+  // caller sets this (raw-LZMA flat path; lzbuffer.rs checks first);
+  // segment decode leaves it unbounded (planner-validated schedules)
+  uint64_t dict_limit = UINT64_MAX;
 
   uint8_t last_or(uint8_t lit) const { return pos ? base[pos - 1] : lit; }
   bool last_n(uint64_t dist, uint8_t* val, Err& e) const {
+    if (dist > dict_limit) {
+      e = {1, "Match distance " + std::to_string(dist) +
+                  " is beyond dictionary size " + std::to_string(dict_limit)};
+      return false;
+    }
     if (dist > pos) {
       e = {1, "Match distance " + std::to_string(dist) +
                   " is beyond output size " + std::to_string(pos)};
@@ -357,6 +366,11 @@ struct FlatOut {
     return true;
   }
   bool append_lz(uint64_t l, uint64_t dist, Err& e) {
+    if (dist > dict_limit) {
+      e = {1, "LZ distance " + std::to_string(dist) +
+                  " is beyond dictionary size " + std::to_string(dict_limit)};
+      return false;
+    }
     if (dist > pos) {
       e = {1, "LZ distance " + std::to_string(dist) + " is beyond output size " +
                   std::to_string(pos)};
@@ -386,6 +400,11 @@ struct FlatOut {
 // ---------------------------------------------------------------------------
 
 constexpr int kMaxRequiredInput = 20;  // lzma.rs:13
+// Max bytes a single symbol can append (longest match = 273): the flat
+// raw-LZMA buffer carries this much slack past the declared size so an
+// overshooting final match is appended (and then reported) exactly like
+// the reference's growable window path.
+constexpr uint64_t kMaxRequiredOvershoot = 273;
 
 struct Layout {
   size_t nlit, lit, is_match, is_rep, is_rep_g0, is_rep_g1, is_rep_g2,
@@ -651,6 +670,7 @@ struct DecoderState {
     const size_t pbmask = (size_t(1) << pb) - 1;
     const size_t lpmask = (size_t(1) << lp) - 1;
     const int lc_ = lc;
+    const uint64_t dlim = o.dict_limit;
 
 #define LRT_RC_BIT(probp, bitvar)                                        \
   do {                                                                   \
@@ -697,6 +717,11 @@ struct DecoderState {
           st_ = st_ < 4 ? 0 : st_ - 3;
           continue;
         }
+        if (r0 + 1 > dlim) {
+          e = {1, "Match distance " + std::to_string(r0 + 1) +
+                      " is beyond dictionary size " + std::to_string(dlim)};
+          goto out;
+        }
         if (r0 + 1 > opos) {
           e = {1, "Match distance " + std::to_string(r0 + 1) +
                       " is beyond output size " + std::to_string(opos)};
@@ -730,6 +755,11 @@ struct DecoderState {
             // 1-byte short rep (lzma.rs:334-339)
             st_ = st_ < 7 ? 9 : 11;
             const size_t dist = r0 + 1;
+            if (dist > dlim) {
+              e = {1, "LZ distance " + std::to_string(dist) +
+                          " is beyond dictionary size " + std::to_string(dlim)};
+              goto out;
+            }
             if (dist > opos) {
               e = {1, "LZ distance " + std::to_string(dist) +
                           " is beyond output size " + std::to_string(opos)};
@@ -897,6 +927,11 @@ struct DecoderState {
       len += 2;
       {
         const size_t dist = r0 + 1;
+        if (dist > dlim) {
+          e = {1, "LZ distance " + std::to_string(dist) +
+                      " is beyond dictionary size " + std::to_string(dlim)};
+          goto out;
+        }
         if (dist > opos) {
           e = {1, "LZ distance " + std::to_string(dist) +
                       " is beyond output size " + std::to_string(opos)};
@@ -1183,10 +1218,6 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
                     void** out_buf, size_t* out_len, char* err_buf) {
   *out_buf = nullptr;
   *out_len = 0;
-  OutputBuffer o;
-  o.circular = true;
-  o.dict_size = size_t(dict_size);
-  if (has_memlimit) o.memlimit = memlimit;
   DecoderState st;
   st.init(lc, lp, pb);
   st.has_unpacked = has_unpacked != 0;
@@ -1199,6 +1230,39 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
     set_err(err_buf, w);
     return 1;
   }
+
+  // Size-declared streams decode straight into an exactly-sized flat
+  // buffer (FlatOut + the register-local fast loop) when the circular
+  // window could not hit the memlimit anyway; `dict_limit` preserves the
+  // "beyond dictionary size" distance errors the window would raise.
+  // EOS-marker streams and memlimit-constrained decodes keep the
+  // reference's circular window (lzbuffer.rs LzCircularBuffer).
+  uint64_t win = dict_size < unpacked_size ? dict_size : unpacked_size;
+  if (has_unpacked && unpacked_size <= (uint64_t(1) << 31) &&
+      (!has_memlimit || win <= memlimit)) {
+    // one-symbol margin: a final match may overshoot the declared size;
+    // the circular reference path appends it and reports the post-loop
+    // "Expected unpacked size of X but decompressed to Y" — capping at
+    // exactly unpacked_size would surface the wrong error string
+    std::string out(size_t(unpacked_size) + kMaxRequiredOvershoot, '\0');
+    FlatOut o;
+    o.base = reinterpret_cast<uint8_t*>(&out[0]);
+    o.cap = out.size();
+    o.dict_limit = dict_size;
+    if (!st.process_mode(o, rc, false, e)) {
+      set_err(err_buf, e);
+      return e.code;
+    }
+    out.resize(size_t(o.len));
+    *out_buf = dup_out(out);
+    *out_len = out.size();
+    return 0;
+  }
+
+  OutputBuffer o;
+  o.circular = true;
+  o.dict_size = size_t(dict_size);
+  if (has_memlimit) o.memlimit = memlimit;
   if (!st.process_mode(o, rc, false, e)) {
     set_err(err_buf, e);
     return e.code;
