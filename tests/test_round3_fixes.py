@@ -196,3 +196,73 @@ class TestDevBench:
             assert win_np[i, :n].tobytes() == data[
                 lane.seg_base : lane.seg_base + n
             ]
+
+
+class TestRawFlatFastPath:
+    """The size-declared raw-LZMA flat decode (native/lzma_native.cpp
+    lrt_lzma_decode flat branch + process_fast) must be byte- and
+    error-string-identical to the spec oracle's circular-window path
+    (reference decode/lzbuffer.rs LzCircularBuffer semantics)."""
+
+    def _spec(self, payload, monkeypatch):
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "spec")
+        try:
+            return ("ok", lzma_rs_tpu.lzma_decompress(payload))
+        except Exception as ex:  # noqa: BLE001 - compare classes+strings
+            return ("err", type(ex).__name__, str(ex))
+
+    def _native(self, payload, monkeypatch):
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "native")
+        try:
+            return ("ok", lzma_rs_tpu.lzma_decompress(payload))
+        except Exception as ex:  # noqa: BLE001
+            return ("err", type(ex).__name__, str(ex))
+
+    def test_roundtrip_known_size(self, monkeypatch):
+        data = read_ref("foo.txt")
+        c = liblzma.compress(data, format=liblzma.FORMAT_ALONE, preset=6)
+        assert self._native(c, monkeypatch) == ("ok", data)
+
+    def test_overshoot_reports_postloop_size_mismatch(self, monkeypatch):
+        """A final match overshooting the declared size must produce the
+        reference's post-loop 'Expected unpacked size of X but
+        decompressed to Y' (not a flat-buffer cap error)."""
+        import struct
+
+        data = b"abcabcabc" * 100
+        c = liblzma.compress(data, format=liblzma.FORMAT_ALONE, preset=6)
+        hdr = bytearray(c[:13])
+        struct.pack_into("<Q", hdr, 5, len(data) - 5)
+        payload = bytes(hdr) + c[13:]
+        rn = self._native(payload, monkeypatch)
+        assert rn == self._spec(payload, monkeypatch)
+        assert rn[0] == "err" and "Expected unpacked size of 895" in rn[2]
+
+    def test_distance_beyond_declared_dict(self, monkeypatch):
+        """Distances past the declared dictionary stay format errors on
+        the flat path (FlatOut.dict_limit), same string as the window."""
+        import random
+        import struct
+
+        rng = random.Random(7)
+        blk = bytes(rng.randrange(256) for _ in range(2000))
+        data = blk + bytes(8000) + blk
+        c = liblzma.compress(data, format=liblzma.FORMAT_ALONE, preset=9)
+        hdr = bytearray(c[:13])
+        struct.pack_into("<I", hdr, 1, 4096)
+        payload = bytes(hdr) + c[13:]
+        rn = self._native(payload, monkeypatch)
+        assert rn == self._spec(payload, monkeypatch)
+        assert rn[0] == "err"
+        assert "LZ distance 10000 is beyond dictionary size 4096" in rn[2]
+
+    def test_eos_stream_keeps_circular_path(self, monkeypatch):
+        """Unknown-size (EOS-marker) streams still decode (circular
+        window branch)."""
+        data = read_ref("foo.txt")[:5000]
+        comp = liblzma.LZMACompressor(
+            format=liblzma.FORMAT_ALONE,
+            filters=[{"id": liblzma.FILTER_LZMA1, "preset": 6}],
+        )
+        c = comp.compress(data) + comp.flush()
+        assert self._native(c, monkeypatch) == ("ok", data)
