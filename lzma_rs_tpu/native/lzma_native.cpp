@@ -1022,6 +1022,33 @@ struct DecoderState {
             continue;  // re-check termination with updated o.len/rc
           }
         }
+        if constexpr (std::is_same<OUT, OutputBuffer>::value) {
+          // LZMA2 accum chunks know their unpacked size: run the same
+          // fast loop over a FlatOut view of the accum vector (resized
+          // to the chunk target + one-symbol overshoot slack, trimmed
+          // back after). Gated so the growable path's memlimit check
+          // could not fire below the target (non-circular append_lz
+          // does not check memlimit, matching the view's behavior).
+          if (!partial_mode && has_unpacked && !o.circular &&
+              o.len < unpacked_size &&
+              unpacked_size <= (uint64_t(1) << 31) &&
+              o.memlimit >= unpacked_size &&
+              remaining >= 2 * kMaxRequiredInput) {
+            const size_t target =
+                size_t(unpacked_size) + size_t(kMaxRequiredOvershoot);
+            if (o.buf.size() < target) o.buf.resize(target);
+            FlatOut fo;
+            fo.base = o.buf.data();
+            fo.pos = o.len;
+            fo.len = o.len;
+            fo.cap = target;
+            const bool ok = process_fast(fo, rc, e);
+            o.buf.resize(size_t(fo.len));
+            o.len = fo.len;
+            if (!ok) return false;
+            continue;  // re-check termination with updated o.len/rc
+          }
+        }
         Status res;
         if (!partial_mode && rc.end - rc.pos >= 2 * kMaxRequiredInput) {
           res = process_next_inner_t<OUT, false, true>(o, rc, e);

@@ -430,16 +430,18 @@ def _record_fallback(reason: str) -> None:
     log.debug("fallback: %s", reason)
 
 
-def choose_vmem_config(plans: List[DecodePlan]):
+def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
     """Pick the VMEM kernel shape bucket for a set of plans.
+
+    ``for_eligibility=True`` skips the jax backend probe (lane count is
+    irrelevant to the budget checks), so the ``auto`` router can reject
+    ineligible archives without paying jax/device initialization.
 
     Smallest window bucket that fits every segment — one-hot window passes
     are O(W), so a 4 KiB-block archive decodes ~4x faster in the 4 KiB
     bucket than in the 16 KiB one. The literal-table bucket follows the
     archive's lc+lp (probability passes are O(NLIT * 768): a tpu_profile
     archive with lc=0 pays for a 768-entry table, not 6144)."""
-    from lzma_rs_tpu.ops import vmem_decoder as vd
-
     need_w = 1
     need_in = 1
     max_lclp = 0
@@ -489,6 +491,8 @@ def choose_vmem_config(plans: List[DecodePlan]):
     # shrinking the hot probability table ~30%
     nps = 4 if max_pb <= 2 else 16
     if os.environ.get("LZMA_RS_TPU_VMEM_GEN") == "1":
+        from lzma_rs_tpu.ops import vmem_decoder as vd
+
         # gen-1 shares one bucket for window and staged input
         bucket1 = bucket
         while bucket1 < need_in and bucket1 < 65536:
@@ -502,15 +506,16 @@ def choose_vmem_config(plans: List[DecodePlan]):
     # into [L/128, 128] vreg tiles, so L scales with VMEM, not with
     # while-carry register pressure. Larger windows scale L down to
     # keep window + input + tables within the 100 MB VMEM budget.
-    from lzma_rs_tpu.ops import vmem2_decoder as vd2
-
     if not env_l:
-        try:
-            import jax
+        if for_eligibility:
+            on_tpu = False  # L does not affect the eligibility budgets
+        else:
+            try:
+                import jax
 
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:  # pragma: no cover - jax is always present
-            on_tpu = False
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:  # pragma: no cover - jax is always present
+                on_tpu = False
         if not on_tpu:
             # interpret-mode (CPU tests / dryruns) pays per-lane Python
             # cost; production lane counts would take minutes per batch
@@ -547,6 +552,18 @@ def choose_vmem_config(plans: List[DecodePlan]):
     while tile_default < tile_min:
         tile_default += 128
     tile = int(os.environ.get("LZMA_RS_TPU_VMEM_TILE", str(tile_default)))
+    if for_eligibility:
+        # lightweight view with the budget fields only: constructing a
+        # real KernelConfig2 imports the pallas kernel module (and jax),
+        # which the auto router must not pay just to say "native"
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, K=8, UNROLL=unroll,
+            RING=ring, NPS=nps, TB=tb, TILE=tile, MAINT=maint,
+        )
+    from lzma_rs_tpu.ops import vmem2_decoder as vd2
+
     return vd2.KernelConfig2(
         L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, UNROLL=unroll, RING=ring,
         NPS=nps, TB=tb, TILE=tile, MAINT=maint,
@@ -956,13 +973,18 @@ def _resolve_auto_engine(plans: List[DecodePlan]) -> str:
     TPU and every segment fits the VMEM kernel budget; the host native
     engine otherwise. Eligibility is decided from the chunk table alone
     (no staging), so the check is cheap relative to decode."""
-    if not _on_tpu():
-        return "native"
+    # eligibility first: rejecting an ineligible archive must not pay
+    # jax/device initialization (host decodes of stock archives would
+    # otherwise stall seconds on the first call probing the backend)
     try:
         lanes = [lane for p in plans for lane in p.lanes]
-        check_vmem_eligibility(lanes, choose_vmem_config(plans))
+        check_vmem_eligibility(
+            lanes, choose_vmem_config(plans, for_eligibility=True)
+        )
     except VmemIneligible as e:
         _record_fallback(f"auto->native: {e.reason}")
+        return "native"
+    if not _on_tpu():
         return "native"
     return "tpu-vmem"
 
