@@ -266,3 +266,32 @@ class TestRawFlatFastPath:
         )
         c = comp.compress(data) + comp.flush()
         assert self._native(c, monkeypatch) == ("ok", data)
+
+
+class TestEligibilityConfigView:
+    """choose_vmem_config(for_eligibility=True) must agree with the real
+    KernelConfig2 on every budget field check_vmem_eligibility reads —
+    otherwise the auto router and the staging path could disagree."""
+
+    def test_budget_fields_match_real_config(self, monkeypatch):
+        data = read_ref("foo.txt")[:20000]
+        arch = lzma_rs_tpu.xz_compress(
+            data, block_size=4096, tpu_profile=True, check_method=1
+        )
+        plans = runtime.plan_xz(arch)[0]
+        light = runtime.choose_vmem_config(plans, for_eligibility=True)
+        real = runtime.choose_vmem_config(plans)
+        for field in ("W", "W_IN", "NLIT", "NPS", "RING", "K", "TB",
+                      "MAINT", "TILE", "UNROLL"):
+            assert getattr(light, field) == getattr(real, field), field
+
+    def test_maint_env_knob_scales_tile(self, monkeypatch):
+        monkeypatch.setenv("LZMA_RS_TPU_VMEM_MAINT", "128")
+        data = read_ref("foo.txt")[:20000]
+        arch = lzma_rs_tpu.xz_compress(
+            data, block_size=4096, tpu_profile=True, check_method=1
+        )
+        plans = runtime.plan_xz(arch)[0]
+        cfg = runtime.choose_vmem_config(plans)
+        assert cfg.MAINT == 128
+        assert cfg.TILE - 128 >= cfg.TB * cfg.MAINT + 16
