@@ -643,7 +643,12 @@ struct DecoderState {
   // chunk's unpacked size is not reached, then writes state back for
   // the generic loop to finish the tail. Error strings are byte-equal
   // to the generic path's (reference parity, tests/test_errors.py).
-  bool process_fast(FlatOut& o, RangeDecoder& rc, Err& e) {
+  // ``olimit_in``: symbol loop stops once output reaches this (the
+  // chunk/stream target); matches may overshoot it up to o.cap, which
+  // callers pad with kMaxRequiredOvershoot slack where overshoot must
+  // be reported by the generic path's post-loop size check.
+  bool process_fast(FlatOut& o, RangeDecoder& rc, Err& e,
+                    uint64_t olimit_in) {
     uint32_t range = rc.range, code = rc.code;
     const uint8_t* const ibuf = rc.buf;
     size_t ipos = rc.pos;
@@ -652,10 +657,9 @@ struct DecoderState {
     size_t opos = size_t(o.pos);
     const size_t ocap = size_t(o.cap);
     // literal stores below elide the per-byte cap check; cap the loop so
-    // they stay in-bounds even if unpacked_size overshoots the buffer
+    // they stay in-bounds even if the target overshoots the buffer
     // (the generic tail path then reports the parity error string)
-    const size_t olimit =
-        size_t(unpacked_size) < ocap ? size_t(unpacked_size) : ocap;
+    const size_t olimit = size_t(olimit_in) < ocap ? size_t(olimit_in) : ocap;
     unsigned st_ = unsigned(state);
     size_t r0 = size_t(rep[0]), r1 = size_t(rep[1]), r2 = size_t(rep[2]),
            r3 = size_t(rep[3]);
@@ -1018,7 +1022,7 @@ struct DecoderState {
           // generic per-symbol path below finishes the edges.
           if (!partial_mode && has_unpacked && o.len < unpacked_size &&
               o.len < o.cap && remaining >= 2 * kMaxRequiredInput) {
-            if (!process_fast(o, rc, e)) return false;
+            if (!process_fast(o, rc, e, unpacked_size)) return false;
             continue;  // re-check termination with updated o.len/rc
           }
         }
@@ -1042,11 +1046,56 @@ struct DecoderState {
             fo.pos = o.len;
             fo.len = o.len;
             fo.cap = target;
-            const bool ok = process_fast(fo, rc, e);
+            const bool ok = process_fast(fo, rc, e, unpacked_size);
             o.buf.resize(size_t(fo.len));
             o.len = fo.len;
             if (!ok) return false;
             continue;  // re-check termination with updated o.len/rc
+          }
+          // Circular window, pre-wrap: until the cursor first wraps at
+          // dict_size the window IS a flat buffer, so the same fast
+          // loop applies (EOS-marker raw streams — the reference's
+          // decompress_big_file bench shape). Gated on
+          // dict_size <= memlimit so the per-byte memlimit check could
+          // never fire pre-wrap; dict_limit preserves the
+          // "beyond dictionary size" distance errors. Post-wrap (rare:
+          // output larger than the dictionary) stays generic.
+          if (!partial_mode && o.circular && o.cursor == o.len &&
+              o.dict_size > 2 * kMaxRequiredOvershoot &&
+              o.dict_size <= o.memlimit &&
+              (!has_unpacked || o.len < unpacked_size) &&
+              o.dict_size <= (uint64_t(1) << 31) &&
+              remaining >= 2 * kMaxRequiredInput) {
+            // Stop one max-match short of the wrap point: a match may
+            // overshoot the target by up to kMaxRequiredOvershoot, and
+            // crossing dict_size would skip the circular flush/wrap
+            // (the last pre-wrap symbols run generic). Geometric growth
+            // (like the vector the window replaces): tiny streams must
+            // not pay a dict_size-sized allocation.
+            const uint64_t wrap_safe =
+                o.dict_size - 1 - kMaxRequiredOvershoot;
+            const uint64_t grow = o.len < 65536 ? 65536 : o.len;
+            uint64_t target = o.len + grow;
+            if (wrap_safe < target) target = wrap_safe;
+            if (has_unpacked && unpacked_size < target)
+              target = unpacked_size;
+            if (o.len < target) {
+              const size_t need =
+                  size_t(target) + size_t(kMaxRequiredOvershoot);
+              if (o.buf.size() < need) o.buf.resize(need);
+              FlatOut fo;
+              fo.base = o.buf.data();
+              fo.pos = o.len;
+              fo.len = o.len;
+              fo.cap = need;
+              fo.dict_limit = o.dict_size;
+              const bool ok = process_fast(fo, rc, e, target);
+              o.buf.resize(size_t(fo.len));
+              o.len = fo.len;
+              o.cursor = size_t(fo.len);
+              if (!ok) return false;
+              continue;  // generic path handles the wrap/tail symbols
+            }
           }
         }
         Status res;
