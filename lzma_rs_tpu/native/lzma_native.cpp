@@ -1060,7 +1060,10 @@ struct DecoderState {
           // never fire pre-wrap; dict_limit preserves the
           // "beyond dictionary size" distance errors. Post-wrap (rare:
           // output larger than the dictionary) stays generic.
-          if (!partial_mode && o.circular && o.cursor == o.len &&
+          // (also valid mid-feed in partial/streaming mode: the loop
+          // only runs while >= 2*kMaxRequiredInput bytes remain, and the
+          // partial-tail stashing below picks up after it exits)
+          if (o.circular && o.cursor == o.len &&
               o.dict_size > 2 * kMaxRequiredOvershoot &&
               o.dict_size <= o.memlimit &&
               (!has_unpacked || o.len < unpacked_size) &&
