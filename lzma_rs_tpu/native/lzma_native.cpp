@@ -1367,11 +1367,14 @@ static void lzma2_compress_block(const uint8_t* data, size_t n, int depth,
 int lrt_lzma2_compress(const char* data, size_t n, int level,
                        size_t chunk_size, int props, size_t dist_cap,
                        void** out_buf, size_t* out_len) {
-  int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 6 ? 64 : 96;
-  // parse modes: 1-3 greedy with lazy lookahead (fastest), 4-6 add
-  // price-density candidate selection from the live adaptive model,
-  // 7-9 run the optimal-parse-lite DP (best ratio, ~10x slower encode)
-  int parse_mode = level >= 6 ? 2 : level >= 4 ? 1 : 0;
+  int depth = level <= 1 ? 8 : level <= 3 ? 24 : level <= 5 ? 32
+                                                : level <= 6 ? 64 : 96;
+  // parse modes: 1-3 greedy with lazy lookahead (fastest); 4-9 run the
+  // optimal-parse DP (per-node adaptive state) — at depth 32 the DP
+  // encodes within ~2x of the old price-density greedy's speed and
+  // closes its 4-11% ratio gap vs liblzma -4/-5, so the greedy
+  // (parse_mode 1) is no longer mapped to any preset.
+  int parse_mode = level >= 4 ? 2 : 0;
   if (chunk_size < 256) chunk_size = 256;
   if (chunk_size > 65536) chunk_size = 65536;
   // props byte (lzma_header.py / lzma.rs:43-94): default lc=3 lp=0 pb=2.

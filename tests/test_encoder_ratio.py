@@ -28,9 +28,11 @@ from conftest import read_ref
 #  foo 6 was 1.065, rce 6 was 1.169.)
 RATIO_PINS = {
     ("foo.txt", 1): 1.005,
+    ("foo.txt", 4): 1.022,
     ("foo.txt", 6): 1.031,
     ("foo.txt", 9): 1.031,
     ("range-coder-edge-case", 1): 1.042,
+    ("range-coder-edge-case", 4): 1.001,
     ("range-coder-edge-case", 6): 1.006,
     ("range-coder-edge-case", 9): 1.006,
 }
