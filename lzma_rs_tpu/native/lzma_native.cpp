@@ -208,6 +208,10 @@ struct OutputBuffer {
   uint64_t memlimit = UINT64_MAX;
   size_t cursor = 0; // circular only
   uint64_t len = 0;  // bytes since last reset (accum) / total (circular)
+  // accum mode: distances past this are format errors (flat-window
+  // one-shot raw-LZMA decode — replicates the circular window's
+  // dictionary-size checks without the wrap machinery)
+  uint64_t dict_limit = UINT64_MAX;
 
   // --- accum mode (LzAccumBuffer, lzbuffer.rs:39-165)
   void reset_accum() {
@@ -239,6 +243,11 @@ struct OutputBuffer {
       size_t idx = (dict_size + cursor - size_t(dist)) % dict_size;
       *val = idx < buf.size() ? buf[idx] : 0;
       return true;
+    }
+    if (dist > dict_limit) {
+      e = {1, "Match distance " + std::to_string(dist) +
+                  " is beyond dictionary size " + std::to_string(dict_limit)};
+      return false;
     }
     if (dist > buf.size()) {
       e = {1, "Match distance " + std::to_string(dist) +
@@ -294,6 +303,11 @@ struct OutputBuffer {
         if (++offset == dict_size) offset = 0;
       }
       return true;
+    }
+    if (dist > dict_limit) {
+      e = {1, "LZ distance " + std::to_string(dist) +
+                  " is beyond dictionary size " + std::to_string(dict_limit)};
+      return false;
     }
     if (dist > buf.size()) {
       e = {1, "LZ distance " + std::to_string(dist) + " is beyond output size " +
@@ -1027,30 +1041,40 @@ struct DecoderState {
           }
         }
         if constexpr (std::is_same<OUT, OutputBuffer>::value) {
-          // LZMA2 accum chunks know their unpacked size: run the same
-          // fast loop over a FlatOut view of the accum vector (resized
-          // to the chunk target + one-symbol overshoot slack, trimmed
-          // back after). Gated so the growable path's memlimit check
-          // could not fire below the target (non-circular append_lz
-          // does not check memlimit, matching the view's behavior).
-          if (!partial_mode && has_unpacked && !o.circular &&
-              o.len < unpacked_size &&
-              unpacked_size <= (uint64_t(1) << 31) &&
-              o.memlimit >= unpacked_size &&
+          // Flat accum: run the same fast loop over a FlatOut view of
+          // the accum vector. Size-declared chunks (LZMA2) use their
+          // target; unknown-size (EOS-marker, flat-window one-shot raw
+          // decode) grow geometrically. The view is resized to the
+          // target + one-symbol overshoot slack and trimmed back after.
+          // Gated so the growable path's memlimit check could not fire
+          // below the target (non-circular append_lz does not check
+          // memlimit, matching the view's behavior).
+          if (!partial_mode && !o.circular &&
+              (!has_unpacked || o.len < unpacked_size) &&
               remaining >= 2 * kMaxRequiredInput) {
-            const size_t target =
-                size_t(unpacked_size) + size_t(kMaxRequiredOvershoot);
-            if (o.buf.size() < target) o.buf.resize(target);
-            FlatOut fo;
-            fo.base = o.buf.data();
-            fo.pos = o.len;
-            fo.len = o.len;
-            fo.cap = target;
-            const bool ok = process_fast(fo, rc, e, unpacked_size);
-            o.buf.resize(size_t(fo.len));
-            o.len = fo.len;
-            if (!ok) return false;
-            continue;  // re-check termination with updated o.len/rc
+            uint64_t tgt;
+            if (has_unpacked) {
+              tgt = unpacked_size;
+            } else {
+              const uint64_t grow = o.len < 65536 ? 65536 : o.len;
+              tgt = o.len + grow;
+            }
+            if (tgt <= (uint64_t(1) << 31) && o.memlimit >= tgt) {
+              const size_t target =
+                  size_t(tgt) + size_t(kMaxRequiredOvershoot);
+              if (o.buf.size() < target) o.buf.resize(target);
+              FlatOut fo;
+              fo.base = o.buf.data();
+              fo.pos = o.len;
+              fo.len = o.len;
+              fo.cap = target;
+              fo.dict_limit = o.dict_limit;
+              const bool ok = process_fast(fo, rc, e, tgt);
+              o.buf.resize(size_t(fo.len));
+              o.len = fo.len;
+              if (!ok) return false;
+              continue;  // re-check termination with updated o.len/rc
+            }
           }
           // Circular window, pre-wrap: until the cursor first wraps at
           // dict_size the window IS a flat buffer, so the same fast
@@ -1339,9 +1363,19 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
   }
 
   OutputBuffer o;
-  o.circular = true;
-  o.dict_size = size_t(dict_size);
-  if (has_memlimit) o.memlimit = memlimit;
+  if (!has_memlimit) {
+    // Unknown-size (EOS-marker) stream, no memlimit: a flat growing
+    // window with a dictionary distance limit is semantically identical
+    // to the circular window (same distance/error rules, output
+    // identical) and runs the fast loop over the whole stream instead
+    // of only the pre-wrap region. Explicit memlimits keep the circular
+    // window: its memory charge is min(dict_size, len), not total len.
+    o.dict_limit = dict_size;
+  } else {
+    o.circular = true;
+    o.dict_size = size_t(dict_size);
+    o.memlimit = memlimit;
+  }
   if (!st.process_mode(o, rc, false, e)) {
     set_err(err_buf, e);
     return e.code;
