@@ -295,3 +295,21 @@ class TestEligibilityConfigView:
         cfg = runtime.choose_vmem_config(plans)
         assert cfg.MAINT == 128
         assert cfg.TILE - 128 >= cfg.TB * cfg.MAINT + 16
+
+def test_wrapscale_eos_stream_flat_window(monkeypatch):
+    """An EOS stream whose output far exceeds the dictionary (the
+    flat-accum window path must keep distances dict-bounded while the
+    output grows past it) decodes bit-exactly vs liblzma."""
+    import struct
+
+    monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "native")
+    data = read_ref("foo.txt") * 12  # ~2 MB
+    comp = liblzma.LZMACompressor(
+        format=liblzma.FORMAT_ALONE,
+        filters=[{"id": liblzma.FILTER_LZMA1, "preset": 6,
+                  "dict_size": 1 << 16}],
+    )
+    c = comp.compress(data) + comp.flush()
+    hdr = bytearray(c[:13])
+    assert struct.unpack("<I", hdr[1:5])[0] == 1 << 16
+    assert lzma_rs_tpu.lzma_decompress(bytes(c)) == data
