@@ -271,9 +271,8 @@ def decode_segments_vmem2(
             traversals per step."""
             i0 = off >> 2
             rows_t = jax.lax.broadcasted_iota(_I32, (TILE_WORDS, S, M), 0)
-            ttab = tile_ref[:]
-            s0 = jnp.where(rows_t == i0[None], ttab, 0)
-            s1 = jnp.where(rows_t == (i0 + 1)[None], ttab, 0)
+            s0 = jnp.where(rows_t == i0[None], tile_ref[:], 0)
+            s1 = jnp.where(rows_t == (i0 + 1)[None], tile_ref[:], 0)
             wa = jnp.sum(s0, axis=0).astype(_U32)
             wb = jnp.sum(s1, axis=0).astype(_U32)
             a = off & 3
@@ -395,22 +394,18 @@ def decode_segments_vmem2(
                         idx2_b1 = pidx
                 elif cfg.TB == 2:
                     if j == 0:
-                        ptab = prob_ref[:]
                         if "probwrite" not in _ABLATE:
                             # retire the previous step's pendings with ONE
                             # blend traversal (newest outermost); the
-                            # selects below read the blended VALUE (not a
-                            # re-read of the ref), so the store and the
-                            # three word selects share one producer and
-                            # Mosaic can fuse them into a single pass
-                            ptab = jnp.where(
+                            # selects below read the blended table, so no
+                            # read fix-ups are needed
+                            prob_ref[:] = jnp.where(
                                 prob_rows == pw1i[None], pw1w[None],
                                 jnp.where(
                                     prob_rows == pw0i[None], pw0w[None],
-                                    ptab,
+                                    prob_ref[:],
                                 ),
                             )
-                            prob_ref[:] = ptab
                             pw0i = zt - 1
                             pw1i = zt - 1
                         # Speculative child prefetch: for every tree node
@@ -445,13 +440,13 @@ def decode_segments_vmem2(
                             HOT_W + jnp.clip(l2b1, 0, LIT_W - 1), t2 + 1,
                         )
                         pword = onehot_read_word(
-                            ptab, pword_idx, PROB_WORDS
+                            prob_ref[:], pword_idx, PROB_WORDS
                         )
                         u0w = onehot_read_word(
-                            ptab, idx2_b0 >> 1, PROB_WORDS
+                            prob_ref[:], idx2_b0 >> 1, PROB_WORDS
                         )
                         u1w = onehot_read_word(
-                            ptab, idx2_b1 >> 1, PROB_WORDS
+                            prob_ref[:], idx2_b1 >> 1, PROB_WORDS
                         )
                     else:
                         # j == 1: no table traversal — bit1 chose between
@@ -856,14 +851,11 @@ def decode_segments_vmem2(
             pw_rows = jax.lax.broadcasted_iota(_I32, (NW, S, M), 0)
             # retire last step's pending window write here, merged with
             # the port pass: one blend traversal applies it and the port
-            # selects read the blended VALUE (one producer for the store
-            # and both word selects, so Mosaic can run store + selects
-            # in a single pass; deferring already removed the separate
-            # RMW write traversal the window write used to pay)
-            wtab = wref[:]
+            # selects read the blended view (deferring removes the
+            # separate RMW write traversal the window write used to pay)
             if "winwrite" not in _ABLATE:
-                wtab = jnp.where(pw_rows == wwi[None], www[None], wtab)
-                wref[:] = wtab
+                wref[:] = jnp.where(pw_rows == wwi[None], www[None],
+                                    wref[:])
                 wwi = zt - 1
             if "port" in _ABLATE:
                 w0 = pw_idx * 0
@@ -872,21 +864,21 @@ def decode_segments_vmem2(
                 r0_ = pw_idx & (RW_WORDS - 1)
                 r1_ = (pw_idx + 1) & (RW_WORDS - 1)
                 w0 = jnp.sum(
-                    jnp.where(pw_rows == r0_[None], wtab, 0),
+                    jnp.where(pw_rows == r0_[None], ring_ref[:], 0),
                     axis=0,
                 )
                 w1 = jnp.sum(
-                    jnp.where(pw_rows == r1_[None], wtab, 0),
+                    jnp.where(pw_rows == r1_[None], ring_ref[:], 0),
                     axis=0,
                 )
             else:
                 w0 = jnp.sum(
-                    jnp.where(pw_rows == pw_idx[None], wtab, 0),
+                    jnp.where(pw_rows == pw_idx[None], win_ref[:], 0),
                     axis=0,
                 )
                 pw1 = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
                 w1 = jnp.sum(
-                    jnp.where(pw_rows == pw1[None], wtab, 0),
+                    jnp.where(pw_rows == pw1[None], win_ref[:], 0),
                     axis=0,
                 )
             port_byte = _extract_byte(w0, port_pos & 3)
@@ -947,7 +939,7 @@ def decode_segments_vmem2(
                 pass
             else:
                 widx_t = widx & (RW_WORDS - 1) if cfg.RING else widx
-                old_w = onehot_read_word(wtab, widx_t, NW)
+                old_w = onehot_read_word(wref[:], widx_t, NW)
                 new_w = (
                     (old_w.astype(_U32) & ~maskp) | placed
                 ).astype(_I32)
