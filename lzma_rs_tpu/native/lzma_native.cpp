@@ -1052,13 +1052,13 @@ struct DecoderState {
           if (!partial_mode && !o.circular &&
               (!has_unpacked || o.len < unpacked_size) &&
               remaining >= 2 * kMaxRequiredInput) {
-            uint64_t tgt;
-            if (has_unpacked) {
-              tgt = unpacked_size;
-            } else {
-              const uint64_t grow = o.len < 65536 ? 65536 : o.len;
-              tgt = o.len + grow;
-            }
+            // geometric growth toward the target, never allocating from
+            // the (untrusted) declared size up front: a crafted header
+            // claiming GiBs must not cost more memory than the stream
+            // actually decodes to (plus one doubling)
+            const uint64_t grow = o.len < 65536 ? 65536 : o.len;
+            uint64_t tgt = o.len + grow;
+            if (has_unpacked && unpacked_size < tgt) tgt = unpacked_size;
             if (tgt <= (uint64_t(1) << 31) && o.memlimit >= tgt) {
               const size_t target =
                   size_t(tgt) + size_t(kMaxRequiredOvershoot);
@@ -1334,43 +1334,28 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
     return 1;
   }
 
-  // Size-declared streams decode straight into an exactly-sized flat
-  // buffer (FlatOut + the register-local fast loop) when the circular
-  // window could not hit the memlimit anyway; `dict_limit` preserves the
-  // "beyond dictionary size" distance errors the window would raise.
-  // EOS-marker streams and memlimit-constrained decodes keep the
+  // A flat growing accum window with a dictionary distance limit is
+  // semantically identical to the circular window (same distance rules
+  // and error strings, identical output) and runs the register-local
+  // fast loop over the whole stream; it grows geometrically with the
+  // ACTUAL output (never allocating from the untrusted declared size —
+  // a crafted header must not drive a multi-GiB upfront allocation).
+  // Eligibility: the accum path charges total output against the
+  // memlimit, the circular reference window charges min(dict, len), so
+  // the flat window is only equivalent when the memlimit could never
+  // fire below the stream's own end (no memlimit, or declared size +
+  // one-symbol overshoot within it). Everything else — including the
+  // memlimit-in-[size, size+272] overshoot edge, where the reference
+  // reports the memlimit error and not the size mismatch — keeps the
   // reference's circular window (lzbuffer.rs LzCircularBuffer).
-  uint64_t win = dict_size < unpacked_size ? dict_size : unpacked_size;
-  if (has_unpacked && unpacked_size <= (uint64_t(1) << 31) &&
-      (!has_memlimit || win <= memlimit)) {
-    // one-symbol margin: a final match may overshoot the declared size;
-    // the circular reference path appends it and reports the post-loop
-    // "Expected unpacked size of X but decompressed to Y" — capping at
-    // exactly unpacked_size would surface the wrong error string
-    std::string out(size_t(unpacked_size) + kMaxRequiredOvershoot, '\0');
-    FlatOut o;
-    o.base = reinterpret_cast<uint8_t*>(&out[0]);
-    o.cap = out.size();
-    o.dict_limit = dict_size;
-    if (!st.process_mode(o, rc, false, e)) {
-      set_err(err_buf, e);
-      return e.code;
-    }
-    out.resize(size_t(o.len));
-    *out_buf = dup_out(out);
-    *out_len = out.size();
-    return 0;
-  }
-
   OutputBuffer o;
-  if (!has_memlimit) {
-    // Unknown-size (EOS-marker) stream, no memlimit: a flat growing
-    // window with a dictionary distance limit is semantically identical
-    // to the circular window (same distance/error rules, output
-    // identical) and runs the fast loop over the whole stream instead
-    // of only the pre-wrap region. Explicit memlimits keep the circular
-    // window: its memory charge is min(dict_size, len), not total len.
+  const bool flat_ok =
+      !has_memlimit ||
+      (has_unpacked &&
+       unpacked_size + kMaxRequiredOvershoot <= memlimit);
+  if (flat_ok) {
     o.dict_limit = dict_size;
+    if (has_memlimit) o.memlimit = memlimit;  // unreachable under gate
   } else {
     o.circular = true;
     o.dict_size = size_t(dict_size);
@@ -1381,6 +1366,9 @@ int lrt_lzma_decode(const char* data, size_t n, size_t payload_off, int lc,
     return e.code;
   }
   o.finish();
+  // release the window before duplicating: out + buf + the malloc'd
+  // copy would otherwise coexist (3x output transiently)
+  std::vector<uint8_t>().swap(o.buf);
   *out_buf = dup_out(o.out);
   *out_len = o.out.size();
   return 0;
@@ -1405,10 +1393,15 @@ int lrt_lzma2_compress(const char* data, size_t n, int level,
                                                 : level <= 6 ? 64 : 96;
   // parse modes: 1-3 greedy with lazy lookahead (fastest); 4-9 run the
   // optimal-parse DP (per-node adaptive state) — at depth 32 the DP
-  // encodes within ~2x of the old price-density greedy's speed and
-  // closes its 4-11% ratio gap vs liblzma -4/-5, so the greedy
-  // (parse_mode 1) is no longer mapped to any preset.
+  // encodes within ~2x of the price-density greedy's speed and closes
+  // its 4-11% ratio gap vs liblzma -4/-5, so the greedy (parse_mode 1)
+  // is no longer mapped to any preset; it stays reachable (and tested)
+  // via LZMA_RS_TPU_PARSE_MODE for speed/ratio experiments.
   int parse_mode = level >= 4 ? 2 : 0;
+  if (const char* pm = getenv("LZMA_RS_TPU_PARSE_MODE")) {
+    int v = atoi(pm);
+    if (v >= 0 && v <= 2) parse_mode = v;
+  }
   if (chunk_size < 256) chunk_size = 256;
   if (chunk_size > 65536) chunk_size = 65536;
   // props byte (lzma_header.py / lzma.rs:43-94): default lc=3 lp=0 pb=2.
@@ -1452,6 +1445,7 @@ int lrt_lzma2_decode(const char* data, size_t n, size_t start, void** out_buf,
     return e.code;
   }
   accum.finish();
+  std::vector<uint8_t>().swap(accum.buf);  // see lrt_lzma_decode
   *out_buf = dup_out(accum.out);
   *out_len = accum.out.size();
   return 0;
@@ -2007,16 +2001,18 @@ struct Bt4MatchFinder {
 
 
 // ---------------------------------------------------------------------------
-// Optimal-parse-lite: forward shortest-path DP over a sliding lookahead
+// Optimal-parse: forward shortest-path DP over a sliding lookahead
 // window, pricing literal / short-rep / rep / match transitions from the
-// CURRENT adaptive model (prices refresh every window). Approximations vs
-// a full optimum (liblzma lzma_optimum): the state machine and rep LRU
-// are frozen at their window-start values for pricing, and only lengths
-// {2..8, Lmax} are relaxed per candidate. Steps record the match
-// DISTANCE, not the LRU index — emission re-resolves the distance
-// against the true LRU (or degrades rep->match / shortrep->literal), so
-// the produced stream is always byte-correct even where the pricing
-// approximation drifted.
+// CURRENT adaptive model (prices refresh every window). Each node
+// carries the (state machine, rep LRU) context along its best path, so
+// prices and rep candidates reflect the path actually taken (liblzma's
+// lzma_optimum does the same). Approximations vs a full optimum: the
+// PROBABILITIES are frozen at window start (no mid-window price
+// refresh), and only lengths {2..8, Lmax} are relaxed per candidate.
+// Steps record the match DISTANCE, not the LRU index — emission
+// re-resolves the distance against the true LRU (or degrades
+// rep->match / shortrep->literal), so the produced stream is always
+// byte-correct even where pricing drifted.
 // ---------------------------------------------------------------------------
 
 struct OptNode {
@@ -2193,7 +2189,7 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
 
     for (int r = 0; r < 4; r++) {
       size_t d = size_t(rp[r]) + 1;
-      if (d > max_dist || d > ap) continue;
+      if (d > max_dist) continue;  // max_dist <= ap, so d <= ap holds
       const uint8_t* q = block + ap - d;
       size_t l = extend_match(q, block + ap, 0, limit);
       if (r == 0 && l >= 1)

@@ -256,9 +256,9 @@ class TestRawFlatFastPath:
         assert rn[0] == "err"
         assert "LZ distance 10000 is beyond dictionary size 4096" in rn[2]
 
-    def test_eos_stream_keeps_circular_path(self, monkeypatch):
-        """Unknown-size (EOS-marker) streams still decode (circular
-        window branch)."""
+    def test_eos_stream_decodes_flat_window(self, monkeypatch):
+        """Unknown-size (EOS-marker) streams without a memlimit decode
+        through the flat accum window."""
         data = read_ref("foo.txt")[:5000]
         comp = liblzma.LZMACompressor(
             format=liblzma.FORMAT_ALONE,
@@ -266,6 +266,60 @@ class TestRawFlatFastPath:
         )
         c = comp.compress(data) + comp.flush()
         assert self._native(c, monkeypatch) == ("ok", data)
+
+    def test_memlimit_keeps_circular_window(self, monkeypatch):
+        """Explicit memlimits route to the reference's circular window
+        (its memory charge is min(dict, len), not total output); both a
+        passing and a failing memlimit must match the spec oracle."""
+        from lzma_rs_tpu import Options
+
+        data = read_ref("foo.txt")[:5000]
+        comp = liblzma.LZMACompressor(
+            format=liblzma.FORMAT_ALONE,
+            filters=[{"id": liblzma.FILTER_LZMA1, "preset": 6}],
+        )
+        c = comp.compress(data) + comp.flush()
+
+        def run(backend, ml):
+            monkeypatch.setenv("LZMA_RS_TPU_BACKEND", backend)
+            try:
+                out = lzma_rs_tpu.lzma_decompress_with_options(
+                    c, Options(memlimit=ml)
+                )
+                return ("ok", len(out))
+            except Exception as ex:  # noqa: BLE001
+                return ("err", type(ex).__name__, str(ex))
+
+        for ml in (1000, 10**9):
+            assert run("native", ml) == run("spec", ml), ml
+
+    def test_memlimit_overshoot_edge_matches_spec(self, monkeypatch):
+        """memlimit in [declared, declared+272] with an overshooting
+        final match: the reference reports the memlimit error, not the
+        size mismatch (code-review finding; circular window required)."""
+        import struct
+
+        from lzma_rs_tpu import Options
+
+        data = b"abcabcabc" * 100
+        c = liblzma.compress(data, format=liblzma.FORMAT_ALONE, preset=6)
+        hdr = bytearray(c[:13])
+        struct.pack_into("<Q", hdr, 5, len(data) - 5)  # declare 895
+        payload = bytes(hdr) + c[13:]
+
+        def run(backend):
+            monkeypatch.setenv("LZMA_RS_TPU_BACKEND", backend)
+            try:
+                lzma_rs_tpu.lzma_decompress_with_options(
+                    payload, Options(memlimit=len(data) - 5)
+                )
+                return ("ok",)
+            except Exception as ex:  # noqa: BLE001
+                return ("err", type(ex).__name__, str(ex))
+
+        rn, rs = run("native"), run("spec")
+        assert rn == rs, (rn, rs)
+        assert rn[0] == "err" and "exceeded memory limit of 895" in rn[2]
 
 
 class TestEligibilityConfigView:
