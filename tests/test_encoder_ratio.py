@@ -59,3 +59,14 @@ def test_levels_monotone_on_text():
         len(lzma_rs_tpu.xz_compress(data, level=lvl)) for lvl in (1, 6, 9)
     ]
     assert sizes[0] >= sizes[1] >= sizes[2], sizes
+
+
+def test_parse_mode_override_greedy(monkeypatch):
+    """LZMA_RS_TPU_PARSE_MODE=1 keeps the price-density greedy reachable
+    (no preset maps to it since the DP took levels 4-9); its output must
+    round-trip and stay liblzma-decodable."""
+    monkeypatch.setenv("LZMA_RS_TPU_PARSE_MODE", "1")
+    data = read_ref("foo.txt")
+    ours = lzma_rs_tpu.xz_compress(data, level=6)
+    assert liblzma.decompress(ours) == data
+    assert len(ours) < len(data) // 2
