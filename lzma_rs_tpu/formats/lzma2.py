@@ -174,6 +174,7 @@ def scan(cursor: ByteCursor) -> Lzma2ChunkTable:
         # error rather than a scan-time one.
         avail = min(packed, cursor.remaining())
         cursor.skip(avail)
+        truncated = avail < packed
 
         chunks.append(
             Lzma2Chunk(
@@ -191,6 +192,12 @@ def scan(cursor: ByteCursor) -> Lzma2ChunkTable:
             )
         )
         out_off += unpacked
+        if truncated:
+            # Mid-payload truncation: the reference fails INSIDE this
+            # chunk's decode (bare IoError), never reaching the next
+            # status byte — scanning further would surface a scan-time
+            # "LZMA2 expected new status" instead of the decode error.
+            break
 
     # Dict resets flush (not discard) the accumulated output, so the stream's
     # total output is simply the sum of all chunk unpacked sizes.

@@ -367,3 +367,32 @@ def test_wrapscale_eos_stream_flat_window(monkeypatch):
     hdr = bytearray(c[:13])
     assert struct.unpack("<I", hdr[1:5])[0] == 1 << 16
     assert lzma_rs_tpu.lzma_decompress(bytes(c)) == data
+
+
+def test_lzma2_midpayload_truncation_error_parity(monkeypatch):
+    """Mid-payload truncation of an LZMA2 chunk must surface the
+    decode-time IoError (reference: the range decoder hits EOF inside
+    the chunk, decode/lzma2.rs), NOT a scan-time 'LZMA2 expected new
+    status' from the planner walking past the clipped payload.
+    Found by the extended randomized differential (FUZZ_LEDGER)."""
+    import lzma as liblzma_
+
+    data = read_ref("foo.txt")[:14000]
+    c = liblzma_.compress(
+        data, format=liblzma_.FORMAT_RAW,
+        filters=[{"id": liblzma_.FILTER_LZMA2, "preset": 6}],
+    )
+    m = c[: len(c) // 2]  # cut inside the first chunk's payload
+
+    def run(backend):
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", backend)
+        try:
+            lzma_rs_tpu.lzma2_decompress(m)
+            return ("ok",)
+        except Exception as ex:  # noqa: BLE001
+            return ("err", type(ex).__name__, str(ex))
+
+    rn, rs = run("native"), run("spec")
+    assert rn == rs, (rn, rs)
+    assert rn[:2] == ("err", "IoError")
+    assert "failed to fill whole buffer" in rn[2]
