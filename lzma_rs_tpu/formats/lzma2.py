@@ -61,6 +61,11 @@ class Lzma2ChunkTable:
     end_off: int  # offset just past the terminating 0x00 control byte
     total_unpacked: int
     num_segments: int
+    # Header error hit AFTER at least one recorded chunk: the reference's
+    # sequential loop would decode the prefix first, so callers must
+    # execute the recorded chunks and only then surface this error
+    # (decode/lzma2.rs processes one chunk at a time).
+    pending_error: Optional[Exception] = None
 
     def segments(self) -> List[List[Lzma2Chunk]]:
         segs: List[List[Lzma2Chunk]] = [[] for _ in range(self.num_segments)]
@@ -84,120 +89,130 @@ def scan(cursor: ByteCursor) -> Lzma2ChunkTable:
     chunks: List[Lzma2Chunk] = []
     out_off = 0
     segment = -1
+    pending_error: Optional[Exception] = None
     while True:
         try:
-            control = cursor.read_u8()
-        except IoError:
-            raise _eof_err("LZMA2 expected new status") from None
-
-        if control == 0:
-            break
-
-        if control in (1, 2):
             try:
-                unpacked = cursor.read_u16_be() + 1
+                control = cursor.read_u8()
+            except IoError:
+                raise _eof_err("LZMA2 expected new status") from None
+
+            if control == 0:
+                break
+
+            if control in (1, 2):
+                try:
+                    unpacked = cursor.read_u16_be() + 1
+                except IoError:
+                    raise _eof_err("LZMA2 expected unpacked size") from None
+                reset_dict = control == 1
+                if reset_dict or segment < 0:
+                    segment += 1
+                if reset_dict:
+                    out_off = 0
+                data_off = cursor.pos
+                try:
+                    cursor.skip(unpacked)
+                except IoError:
+                    raise LzmaError(
+                        f"LZMA2 expected {unpacked} uncompressed bytes: "
+                        "failed to fill whole buffer"
+                    ) from None
+                chunks.append(
+                    Lzma2Chunk(
+                        kind=KIND_UNCOMPRESSED,
+                        control=control,
+                        reset_dict=reset_dict,
+                        reset_state=False,
+                        reset_props=False,
+                        props=None,
+                        unpacked_size=unpacked,
+                        packed_size=unpacked,
+                        data_off=data_off,
+                        out_off=out_off,
+                        segment=segment,
+                    )
+                )
+                out_off += unpacked
+                continue
+
+            if control < 0x80:
+                raise LzmaError(
+                    f"LZMA2 invalid status {control}, must be 0, 1, 2 or >= 128"
+                )
+
+            reset_mode = (control >> 5) & 0x3
+            reset_dict = reset_mode == 3
+            reset_state = reset_mode >= 1
+            reset_props = reset_mode >= 2
+
+            try:
+                unpacked = cursor.read_u16_be()
             except IoError:
                 raise _eof_err("LZMA2 expected unpacked size") from None
-            reset_dict = control == 1
+            unpacked = (((control & 0x1F) << 16) | unpacked) + 1
+            try:
+                packed = cursor.read_u16_be() + 1
+            except IoError:
+                raise _eof_err("LZMA2 expected packed size") from None
+
+            props: Optional[LzmaProperties] = None
+            if reset_props:
+                try:
+                    props_byte = cursor.read_u8()
+                except IoError:
+                    raise _eof_err("LZMA2 expected new properties") from None
+                props = parse_props_byte(props_byte, context="LZMA2")
+                if props.lc + props.lp > 4:
+                    raise LzmaError(
+                        f"LZMA2 invalid properties: lc + lp ({props.lc} + {props.lp}) "
+                        "must be <= 4"
+                    )
+
             if reset_dict or segment < 0:
                 segment += 1
             if reset_dict:
                 out_off = 0
+
             data_off = cursor.pos
-            try:
-                cursor.skip(unpacked)
-            except IoError:
-                raise LzmaError(
-                    f"LZMA2 expected {unpacked} uncompressed bytes: "
-                    "failed to fill whole buffer"
-                ) from None
+            # Payload truncation is detected at decode time (the reference's
+            # range decoder hits EOF); the scanner just records the extent and
+            # clips, so a truncated trailing chunk still surfaces the decode-time
+            # error rather than a scan-time one.
+            avail = min(packed, cursor.remaining())
+            cursor.skip(avail)
+            truncated = avail < packed
+
             chunks.append(
                 Lzma2Chunk(
-                    kind=KIND_UNCOMPRESSED,
+                    kind=KIND_LZMA,
                     control=control,
                     reset_dict=reset_dict,
-                    reset_state=False,
-                    reset_props=False,
-                    props=None,
+                    reset_state=reset_state,
+                    reset_props=reset_props,
+                    props=props,
                     unpacked_size=unpacked,
-                    packed_size=unpacked,
+                    packed_size=packed,
                     data_off=data_off,
                     out_off=out_off,
                     segment=segment,
                 )
             )
             out_off += unpacked
-            continue
-
-        if control < 0x80:
-            raise LzmaError(
-                f"LZMA2 invalid status {control}, must be 0, 1, 2 or >= 128"
-            )
-
-        reset_mode = (control >> 5) & 0x3
-        reset_dict = reset_mode == 3
-        reset_state = reset_mode >= 1
-        reset_props = reset_mode >= 2
-
-        try:
-            unpacked = cursor.read_u16_be()
-        except IoError:
-            raise _eof_err("LZMA2 expected unpacked size") from None
-        unpacked = (((control & 0x1F) << 16) | unpacked) + 1
-        try:
-            packed = cursor.read_u16_be() + 1
-        except IoError:
-            raise _eof_err("LZMA2 expected packed size") from None
-
-        props: Optional[LzmaProperties] = None
-        if reset_props:
-            try:
-                props_byte = cursor.read_u8()
-            except IoError:
-                raise _eof_err("LZMA2 expected new properties") from None
-            props = parse_props_byte(props_byte, context="LZMA2")
-            if props.lc + props.lp > 4:
-                raise LzmaError(
-                    f"LZMA2 invalid properties: lc + lp ({props.lc} + {props.lp}) "
-                    "must be <= 4"
-                )
-
-        if reset_dict or segment < 0:
-            segment += 1
-        if reset_dict:
-            out_off = 0
-
-        data_off = cursor.pos
-        # Payload truncation is detected at decode time (the reference's
-        # range decoder hits EOF); the scanner just records the extent and
-        # clips, so a truncated trailing chunk still surfaces the decode-time
-        # error rather than a scan-time one.
-        avail = min(packed, cursor.remaining())
-        cursor.skip(avail)
-        truncated = avail < packed
-
-        chunks.append(
-            Lzma2Chunk(
-                kind=KIND_LZMA,
-                control=control,
-                reset_dict=reset_dict,
-                reset_state=reset_state,
-                reset_props=reset_props,
-                props=props,
-                unpacked_size=unpacked,
-                packed_size=packed,
-                data_off=data_off,
-                out_off=out_off,
-                segment=segment,
-            )
-        )
-        out_off += unpacked
-        if truncated:
-            # Mid-payload truncation: the reference fails INSIDE this
-            # chunk's decode (bare IoError), never reaching the next
-            # status byte — scanning further would surface a scan-time
-            # "LZMA2 expected new status" instead of the decode error.
-            break
+            if truncated:
+                # Mid-payload truncation: the reference fails INSIDE this
+                # chunk's decode (bare IoError), never reaching the next
+                # status byte — scanning further would surface a scan-time
+                # "LZMA2 expected new status" instead of the decode error.
+                break
+        except (LzmaError, IoError) as e:
+            if chunks:
+                # sequential parity: the reference decodes the
+                # already-seen chunks before reaching this header,
+                # so their decode errors must surface first
+                pending_error = e
+                break
+            raise
 
     # Dict resets flush (not discard) the accumulated output, so the stream's
     # total output is simply the sum of all chunk unpacked sizes.
@@ -207,4 +222,5 @@ def scan(cursor: ByteCursor) -> Lzma2ChunkTable:
         end_off=cursor.pos,
         total_unpacked=total,
         num_segments=segment + 1,
+        pending_error=pending_error,
     )

@@ -57,6 +57,11 @@ class DecodePlan:
     lanes: List[LanePlan]
     prefill: List[Tuple[int, int, int]]  # (src_off, dst_off, length)
     total_out: int
+    # Chunk-header error deferred by the scanner (formats/lzma2.py): the
+    # reference's sequential loop decodes the recorded prefix before
+    # reaching the broken header, so plan executors must not surface
+    # this ahead of prefix decode errors — they replay sequentially.
+    pending_error: Optional[Exception] = None
 
 
 class UnparallelizableStream(Exception):
@@ -127,6 +132,7 @@ def plan_lzma2_stream(
         lanes=[l for l in lanes if l.in_start],  # drop all-uncompressed lanes
         prefill=prefill,
         total_out=abs_out - out_base,
+        pending_error=table.pending_error,
     )
     return plan, table.end_off - start
 
@@ -997,6 +1003,13 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
     except UnparallelizableStream:
         _record_fallback("host: stream carries prob state across dict reset")
         return _host_lzma2(data)
+    if plan.pending_error is not None:
+        # A chunk-header error behind decodable chunks: only a sequential
+        # decode reproduces the reference's error ordering (the prefix's
+        # own decode errors come first). _host_lzma2 is the native
+        # sequential chunk loop.
+        _record_fallback("host replay: chunk-header error after prefix")
+        return _host_lzma2(data)
     if engine == "auto":
         engine = _resolve_auto_engine([plan])
     if engine == "native":
@@ -1125,6 +1138,12 @@ def plan_xz(data: bytes):
             raise XzError("Invalid properties for filter Lzma2")
         payload_start = cursor.pos
         plan, consumed = plan_lzma2_stream(data, payload_start, out_base)
+        if plan.pending_error is not None:
+            # A chunk-header error behind decodable chunks: the reference
+            # surfaces prefix decode errors (then this error) before any
+            # container-level size validation — only the sequential
+            # decoder reproduces that ordering.
+            raise UnparallelizableStream()
         cursor.pos = payload_start + consumed
         if (
             info.header.packed_size is not None
@@ -1161,8 +1180,24 @@ def plan_xz(data: bytes):
 
 
 def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
-    plans, block_spans, header_flags, records, cursor = plan_xz(data)
-    index_size = xz_fmt.check_index(cursor, records)
+    from lzma_rs_tpu.utils.errors import IoError
+
+    try:
+        plans, block_spans, header_flags, records, cursor = plan_xz(data)
+        index_size = xz_fmt.check_index(cursor, records)
+    except UnparallelizableStream:
+        raise
+    except (LzmaError, XzError, IoError):
+        # Malformed container: planning walks ALL headers (and the index)
+        # before decoding any payload, but the reference interleaves
+        # block decode with the walk, so an earlier block's decode error
+        # must surface before a later structure error. The sequential
+        # decoder reproduces the reference's ordering exactly (and
+        # re-raises this same error when it really is first).
+        _record_fallback("host replay: container error during planning")
+        from lzma_rs_tpu.models.codecs import xz_decode_stream
+
+        return xz_decode_stream(ByteCursor(data))
 
     if engine == "auto":
         engine = _resolve_auto_engine(plans)

@@ -396,3 +396,56 @@ def test_lzma2_midpayload_truncation_error_parity(monkeypatch):
     assert rn == rs, (rn, rs)
     assert rn[:2] == ("err", "IoError")
     assert "failed to fill whole buffer" in rn[2]
+
+
+def test_error_ordering_prefix_decode_before_header_error(monkeypatch):
+    """Sequential error ordering (reference decode/lzma2.rs): corruption
+    in an early chunk's payload must surface its DECODE error even when a
+    later chunk header is also broken — the planner walks all headers
+    first, so it defers header errors behind decodable prefixes and
+    replays sequentially. Found by the randomized differential."""
+    import lzma as liblzma_
+
+    data = read_ref("foo.txt")[:30000]
+    c = bytearray(liblzma_.compress(
+        data, format=liblzma_.FORMAT_RAW,
+        filters=[{"id": liblzma_.FILTER_LZMA2, "preset": 6}],
+    ))
+    # corrupt an early payload byte AND truncate inside a later header
+    c[40] ^= 0x10
+    m = bytes(c[: len(c) - 3])
+
+    def run(backend):
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", backend)
+        try:
+            lzma_rs_tpu.lzma2_decompress(m)
+            return ("ok",)
+        except Exception as ex:  # noqa: BLE001
+            return ("err", type(ex).__name__, str(ex))
+
+    rn, rs = run("native"), run("spec")
+    assert rn == rs, (rn, rs)
+
+
+def test_xz_container_error_after_decodable_block(monkeypatch):
+    """.xz: a container-structure error behind a corrupt block payload
+    must not pre-empt the block's decode error (the reference
+    interleaves block decode with the container walk)."""
+    import lzma as liblzma_
+
+    data = read_ref("foo.txt")[:30000]
+    c = bytearray(liblzma_.compress(data, format=liblzma_.FORMAT_XZ,
+                                    preset=6))
+    c[100] ^= 0x04          # corrupt block payload
+    m = bytes(c[: len(c) - 7])  # and truncate the footer/index
+
+    def run(backend):
+        monkeypatch.setenv("LZMA_RS_TPU_BACKEND", backend)
+        try:
+            lzma_rs_tpu.xz_decompress(m)
+            return ("ok",)
+        except Exception as ex:  # noqa: BLE001
+            return ("err", type(ex).__name__, str(ex))
+
+    rn, rs = run("native"), run("spec")
+    assert rn == rs, (rn, rs)
