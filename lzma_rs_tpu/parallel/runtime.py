@@ -1111,7 +1111,7 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
         _record_fallback("host: stream carries prob state across dict reset")
         from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-        return xz_decode_stream(ByteCursor(data))
+        return _sequential_xz_replay(data)
 
 
 def plan_xz(data: bytes):
@@ -1179,6 +1179,29 @@ def plan_xz(data: bytes):
     return plans, block_spans, header_flags, records, cursor
 
 
+def _sequential_xz_replay(data: bytes) -> bytes:
+    """Reference-ordered sequential `.xz` decode for error replay.
+
+    Uses the spec container walk (exact reference errors) with the
+    NATIVE sequential LZMA2 chunk loop as the payload decoder when
+    available — pure-Python payload decode is ~0.1 MB/s, which made
+    replaying a large corrupt archive take minutes."""
+    from lzma_rs_tpu.models.codecs import xz_decode_stream
+    from lzma_rs_tpu.native import loader
+
+    lib = loader.load()
+    hook = None
+    if lib is not None:
+        buf = data
+
+        def hook(cursor):
+            out, consumed = lib.lzma2_decode_at(buf, cursor.pos)
+            cursor.pos += consumed
+            return out
+
+    return xz_decode_stream(ByteCursor(data), decode_lzma2=hook)
+
+
 def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
     from lzma_rs_tpu.utils.errors import IoError
 
@@ -1197,7 +1220,7 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
         _record_fallback("host replay: container error during planning")
         from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-        return xz_decode_stream(ByteCursor(data))
+        return _sequential_xz_replay(data)
 
     if engine == "auto":
         engine = _resolve_auto_engine(plans)
@@ -1214,7 +1237,7 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
         except Exception:
             from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-            return xz_decode_stream(ByteCursor(data))
+            return _sequential_xz_replay(data)
         xz_fmt.check_footer(cursor, header_flags, index_size)
         return out
     else:
@@ -1227,12 +1250,12 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
                 if engine == "tpu-vmem":
                     from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-                    return xz_decode_stream(ByteCursor(data))
+                    return _sequential_xz_replay(data)
             except _KernelError as e:
                 _record_fallback(f"host replay: lane error code {e.code}")
                 from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-                return xz_decode_stream(ByteCursor(data))
+                return _sequential_xz_replay(data)
         if out is None:
             try:
                 out = execute_plan(data, plans)
@@ -1240,7 +1263,7 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
                 _record_fallback(f"host replay: lane error code {e.code}")
                 from lzma_rs_tpu.models.codecs import xz_decode_stream
 
-                return xz_decode_stream(ByteCursor(data))
+                return _sequential_xz_replay(data)
 
     # Pass 3: verify block checks. Stream order for error determinism; the
     # hashing itself fans out across a small thread pool (zlib / native
