@@ -982,8 +982,24 @@ def _resolve_auto_engine(plans: List[DecodePlan]) -> str:
     # eligibility first: rejecting an ineligible archive must not pay
     # jax/device initialization (host decodes of stock archives would
     # otherwise stall seconds on the first call probing the backend)
+    lanes = [lane for p in plans for lane in p.lanes]
+    # Minimum-work gate: the device wins through lane parallelism
+    # (thousands of independent segments amortizing the fixed per-step
+    # cost) and a launch can pay a one-time multi-minute remote compile.
+    # Small archives decode in microseconds..milliseconds on the host —
+    # never worth a device trip, let alone a cold compile.
+    import os
+
+    min_lanes = int(os.environ.get("LZMA_RS_TPU_AUTO_MIN_LANES", "64"))
+    min_out = int(os.environ.get("LZMA_RS_TPU_AUTO_MIN_OUT", str(1 << 20)))
+    total_out = sum(p.total_out for p in plans)
+    if len(lanes) < min_lanes or total_out < min_out:
+        _record_fallback(
+            f"auto->native: small workload ({len(lanes)} lanes, "
+            f"{total_out} B out)"
+        )
+        return "native"
     try:
-        lanes = [lane for p in plans for lane in p.lanes]
         check_vmem_eligibility(
             lanes, choose_vmem_config(plans, for_eligibility=True)
         )

@@ -28,6 +28,13 @@ def _tpu_archive(n=6000):
 
 
 class TestAutoEngine:
+    @pytest.fixture(autouse=True)
+    def _tiny_thresholds(self, monkeypatch):
+        # the auto router's minimum-work gate (64 lanes / 1 MiB out)
+        # would route these deliberately tiny fixtures to the host
+        monkeypatch.setenv("LZMA_RS_TPU_AUTO_MIN_LANES", "1")
+        monkeypatch.setenv("LZMA_RS_TPU_AUTO_MIN_OUT", "1")
+
     def test_auto_picks_vmem_when_on_tpu_and_eligible(self, monkeypatch):
         data, arch = _tpu_archive()
         monkeypatch.setattr(runtime, "_on_tpu", lambda: True)
@@ -449,3 +456,17 @@ def test_xz_container_error_after_decodable_block(monkeypatch):
 
     rn, rs = run("native"), run("spec")
     assert rn == rs, (rn, rs)
+
+
+def test_auto_small_workload_stays_on_host(monkeypatch):
+    """A tiny archive never takes a device trip (or a cold compile),
+    even on a TPU host with an eligible plan."""
+    data, arch = _tpu_archive()  # few lanes, ~6 KB out
+    monkeypatch.setattr(runtime, "_on_tpu", lambda: True)
+    monkeypatch.delenv("LZMA_RS_TPU_AUTO_MIN_LANES", raising=False)
+    monkeypatch.delenv("LZMA_RS_TPU_AUTO_MIN_OUT", raising=False)
+    with stats_mod.collect() as st:
+        out = runtime.xz_decode(arch, engine="auto")
+    assert out == data
+    assert st.engine == "native"
+    assert any("small workload" in f for f in st.fallbacks), st.fallbacks
