@@ -327,14 +327,23 @@ def decode_segments_vmem2(
 
             # -------- Stage A/B x TB: bit-decode loop -------------------
             # j=0 serves every bit-consuming node (control + tree); j>=1
-            # only lanes still inside a multi-bit tree walk, where the
-            # next probability index is a pure function of the bits
-            # accumulated so far. Tree accumulation (acc/cnt/rev/mbyte,
-            # LITM->LIT mismatch drop) happens inside the loop; the node
-            # handlers below consume the result via done predicates.
-            # Each extra bit costs one probability read+write pass and a
-            # renormalization; every other per-step pass amortizes.
+            # only lanes still inside an EVEN-BASE multi-bit tree walk
+            # (len/pos_slot/align trees, plain literal trees, direct
+            # bits).  For those, the second bit's two candidate entries
+            # are (base + 2*acc, base + 2*acc + 1) — adjacent, and the
+            # even base (hot_layout pads spec_pos for this) puts both in
+            # ONE packed word, so ONE prefetch traversal at j=0 covers
+            # bit 2 regardless of bit 1's value.  Matched literals
+            # (N_LITM: candidates live in different 256-entry subtrees)
+            # and spec_pos (mixed-parity walk bases) decode one bit per
+            # step — measured cheaper than paying a third probability
+            # pass every step for every lane (tools/probe_sym_stats.py:
+            # litm1 model, -10% step-time on the tpu_profile corpus).
+            # Tree accumulation (acc/cnt/rev/mbyte, LITM->LIT mismatch
+            # drop) happens inside the loop; the node handlers below
+            # consume the result via done predicates.
             node = node0
+            litm0 = node0 == N_LITM
             bit0 = jnp.zeros_like(node0)
             # the step consumes at most TB input bytes, at inp and inp+1:
             # fetch both with one tile traversal instead of one per bit
@@ -352,8 +361,11 @@ def decode_segments_vmem2(
                     is_prob_act = (node <= N_ALIGN) & ~is_direct_j
                     active_j = is_prob_act | is_direct_act
                 else:
-                    cont = (is_lit_j & (acc < 0x100)) | (
-                        is_cnt_j & (cnt > 0)
+                    cont = (
+                        ((node == N_LIT) & ~litm0 & (acc < 0x100))
+                        | (((node == N_LEN_TREE) | (node == N_POSSLOT)
+                            | (node == N_ALIGN) | is_direct_j)
+                           & (cnt > 0))
                     )
                     active_j = cont & (node != N_ERROR)
                     is_direct_act = is_direct_j & active_j
@@ -388,10 +400,9 @@ def decode_segments_vmem2(
                 if "probread" in _ABLATE:
                     pword = pword_idx * 0 + PROB_PACKED
                     if cfg.TB == 2 and j == 0:
-                        u0w = pword
-                        u1w = pword
-                        idx2_b0 = pidx
-                        idx2_b1 = pidx
+                        uw = pword
+                        pair_idx = pidx
+                        pair_word = pword_idx
                 elif cfg.TB == 2:
                     if j == 0:
                         if "probwrite" not in _ABLATE:
@@ -408,55 +419,36 @@ def decode_segments_vmem2(
                             )
                             pw0i = zt - 1
                             pw1i = zt - 1
-                        # Speculative child prefetch: for every tree node
-                        # the SECOND bit's probability index is a pure
-                        # function of pre-bit1 state and bit1's value
-                        # (counted trees: tmp + 2*acc + b; literals:
-                        # row + 2*acc + b on the plain or matched subtree
-                        # chosen by whether b matches the current match
-                        # bit). Selecting both candidate words in the
-                        # same traversal as bit1's word removes bit2's
-                        # entire table pass (docs/KERNEL_r03.md).
+                        # Pair prefetch: the SECOND bit's two candidate
+                        # entries are (base + 2*acc, base + 2*acc + 1)
+                        # for every even-base tree (len/pos_slot/align,
+                        # plain literal) — adjacent entries in ONE packed
+                        # word.  A single extra traversal replaces the
+                        # round-3 two-candidate prefetch; bit 1's value
+                        # just picks the half (phalf = bit0).
                         acc2 = acc << 1
-                        row = lit_ctx * LIT_ROW
-                        mb_cur = (mbyte >> 7) & 1
-                        mb_next = (mbyte >> 6) & 1
-                        litm_cont = row + ((1 + mb_next) << 8) + acc2
-                        plain = row + acc2
-                        is_litm = node == N_LITM
-                        l2b0 = jnp.where(
-                            is_litm & (mb_cur == 0), litm_cont, plain
+                        pair_hot = jnp.clip(tmp + acc2, 0, H_TOTAL - 2)
+                        pair_lit = jnp.clip(
+                            lit_ctx * LIT_ROW + acc2, 0, LIT_W - 2
                         )
-                        l2b1 = jnp.where(
-                            is_litm & (mb_cur == 1), litm_cont, plain
-                        ) + 1
-                        t2 = jnp.clip(tmp + acc2, 0, H_TOTAL - 2)
-                        idx2_b0 = jnp.where(
-                            is_lit_j,
-                            HOT_W + jnp.clip(l2b0, 0, LIT_W - 1), t2,
+                        pair_idx = jnp.where(
+                            node == N_LIT, HOT_W + pair_lit, pair_hot
                         )
-                        idx2_b1 = jnp.where(
-                            is_lit_j,
-                            HOT_W + jnp.clip(l2b1, 0, LIT_W - 1), t2 + 1,
-                        )
+                        pair_word = pair_idx >> 1
                         pword = onehot_read_word(
                             prob_ref[:], pword_idx, PROB_WORDS
                         )
-                        u0w = onehot_read_word(
-                            prob_ref[:], idx2_b0 >> 1, PROB_WORDS
-                        )
-                        u1w = onehot_read_word(
-                            prob_ref[:], idx2_b1 >> 1, PROB_WORDS
+                        uw = onehot_read_word(
+                            prob_ref[:], pair_word, PROB_WORDS
                         )
                     else:
-                        # j == 1: no table traversal — bit1 chose between
-                        # the prefetched candidate words; bit1's own
+                        # j == 1: no table traversal — the prefetched
+                        # pair word holds both candidates; bit1's own
                         # update may share the word (register fix-up)
-                        pidx = jnp.where(bit0 == 1, idx2_b1, idx2_b0)
-                        pword_idx = pidx >> 1
+                        pidx = pair_idx + bit0
+                        pword_idx = pair_word
                         phalf = pidx & 1
-                        pword = jnp.where(bit0 == 1, u1w, u0w)
-                        pword = jnp.where(pword_idx == pw0i, pw0w, pword)
+                        pword = jnp.where(pword_idx == pw0i, pw0w, uw)
                 else:
                     pword = onehot_read_word(prob_ref[:], pword_idx,
                                              PROB_WORDS)

@@ -122,7 +122,13 @@ def hot_layout(nps: int) -> dict:
     take("is_rep_g2", 12)
     take("is_rep_0long", 12 * nps)
     take("pos_slot", 4 * 64)
-    take("spec_pos", 115)
+    # 115 live entries + 1 pad: keeps every following tree base EVEN so
+    # that the two candidate entries for a second tree bit (base+2*acc,
+    # base+2*acc+1) always share one packed word — the gen-2 TB=2 pair
+    # prefetch reads them with a single traversal (vmem2_decoder.py).
+    # spec_pos itself has mixed-parity walk bases (base_dist - pos_slot)
+    # and is decoded one bit per step there.
+    take("spec_pos", 116)
     take("align", 16)
     len_size = 2 + nps * 8 * 2 + 256  # choice, choice2, low, mid, high
     take("len", len_size)
