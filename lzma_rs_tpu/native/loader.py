@@ -332,7 +332,10 @@ def _pgo_train(so_path: str) -> None:
     ok = True
     while pos < len(comp) and comp[pos] != 0:
         c = comp[pos]
-        if c < 0x80:  # uncompressed chunk: not emitted for text corpora
+        if c < 0x80 or pos + 5 > len(comp):
+            # uncompressed chunk (not emitted for text corpora) or a
+            # truncated header: skip PGO training rather than abort the
+            # whole native build on an IndexError
             ok = False
             break
         unpacked = ((c & 0x1F) << 16) + (comp[pos + 1] << 8) + comp[pos + 2] + 1
@@ -340,9 +343,15 @@ def _pgo_train(so_path: str) -> None:
         reset = (c >> 5) & 3
         hdr = 5
         if reset >= 2:
+            if pos + 6 > len(comp):
+                ok = False
+                break
             p = comp[pos + 5]
             lc, lp, pb = p % 9, (p // 9) % 5, p // 45
             hdr = 6
+        if pos + hdr + packed > len(comp):
+            ok = False
+            break
         chunks.append(_Chunk(pos + hdr, pos + hdr + packed, out_pos,
                              out_pos + unpacked, 1 if reset else 0,
                              lc, lp, pb))

@@ -57,6 +57,12 @@ def scan_blocks(data: bytes) -> Tuple[xz_fmt.StreamFlags, List[BlockSpan], int]:
             break
         payload_start = cursor.pos
         plan, consumed = rt.plan_lzma2_stream(data, payload_start, 0)
+        if plan.pending_error is not None:
+            # A chunk-header error behind decodable chunks: only a
+            # sequential decode reproduces the reference's error
+            # ordering (the prefix's own decode errors come first) —
+            # same rule as runtime.plan_xz / lzma2_decode.
+            raise rt.UnparallelizableStream()
         cursor.pos = payload_start + consumed
         pad = xz_fmt.padding_size(cursor.pos - header_off)
         cursor.skip(pad)
@@ -182,7 +188,13 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
     if n_hosts == 1:
         return rt.xz_decode(data, engine=engine)
 
-    flags, spans, total_out = scan_blocks(data)
+    try:
+        flags, spans, total_out = scan_blocks(data)
+    except rt.UnparallelizableStream:
+        # Deterministic on every host (identical data -> identical
+        # raise), so no process ever reaches a collective: each decodes
+        # sequentially and returns the same result/error.
+        return rt.xz_decode(data, engine=engine)
     owner = assign_blocks(spans, n_hosts)
     host_waves, wave_sizes = plan_waves(spans, owner, n_hosts)
 
@@ -198,6 +210,8 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
         off = 0
         for s in wave_spans:
             plan, _ = rt.plan_lzma2_stream(data, s.payload_start, 0)
+            if plan.pending_error is not None:  # scan_blocks screened it
+                raise plan.pending_error
             if engine == "native":
                 out = rt.execute_plan_native(data, [plan], threads=threads)
             else:

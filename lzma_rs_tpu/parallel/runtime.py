@@ -514,7 +514,11 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
     # keep window + input + tables within the 100 MB VMEM budget.
     if not env_l:
         if for_eligibility:
-            on_tpu = False  # L does not affect the eligibility budgets
+            # L does not affect the eligibility budgets, but the auto
+            # router's throughput model needs the PRODUCTION lane count
+            # (what a real device launch would use), so take the on-TPU
+            # branch below without paying a jax import.
+            on_tpu = True
         else:
             try:
                 import jax
@@ -733,7 +737,14 @@ def execute_plan_vmem(
     kernel or the host engine). Ring-window configs retry once on the
     full-window kernel if a match distance exceeds the ring."""
     if config is None:
-        config = choose_vmem_config(plans)
+        try:
+            config = choose_vmem_config(plans)
+        except AssertionError as e:
+            # KernelConfig2.__post_init__ enforces budgets the cheap
+            # eligibility view (SimpleNamespace) does not re-derive; a
+            # drifted default or env override must demote to the host
+            # engine, not crash the decode
+            raise VmemIneligible(f"kernel config rejected: {e}") from None
     try:
         return _execute_plan_vmem(data, plans, config, interpret)
     except _RingMiss:
@@ -974,11 +985,82 @@ def _host_lzma2(data: bytes) -> bytes:
     return Lzma2Decoder().decompress(ByteCursor(data))
 
 
+# --- auto-router throughput model -------------------------------------
+#
+# "auto picks the best available engine" must mean best END-TO-END: a
+# VMEM-eligible archive can still decode 10-100x faster on the host
+# (e.g. stock 64 KiB-block archives: ~1.4 MB/s/chip device vs >100 MB/s
+# native). The router therefore models both engines' wall time from the
+# plan alone and never routes to a modeled-slower engine.
+#
+# Calibration constants are measured on v5e (docs/KERNEL_r03/r04.md) and
+# overridable via env (a bench run can export refreshed values):
+#   LZMA_RS_TPU_CAL_NATIVE_MBS  host engine throughput (MB/s)
+#   LZMA_RS_TPU_CAL_LINK_MBS    host<->device link bandwidth (MB/s)
+#   LZMA_RS_TPU_CAL_STEP_A/B    us/step = A + B * port_rows, where
+#                               port_rows = (RING or W)/4 is the length
+#                               of the per-step window traversals (two
+#                               v5e measurements fix the line: 8.0 us at
+#                               512 rows ring, 80.6 us at 16384 rows)
+#   LZMA_RS_TPU_CAL_STEPS_PER_B decoded steps per output byte (~3.2 on
+#                               text, tools/probe_sym_stats.py)
+
+
+def _auto_calibration() -> dict:
+    import os
+
+    def f(name, default):
+        return float(os.environ.get(name, str(default)))
+
+    return {
+        "native_mbs": f("LZMA_RS_TPU_CAL_NATIVE_MBS", 120.0),
+        "link_mbs": f("LZMA_RS_TPU_CAL_LINK_MBS", 25.0),
+        "step_a": f("LZMA_RS_TPU_CAL_STEP_A", 5.7),
+        "step_b": f("LZMA_RS_TPU_CAL_STEP_B", 0.00457),
+        "steps_per_byte": f("LZMA_RS_TPU_CAL_STEPS_PER_B", 3.2),
+    }
+
+
+def _estimate_engine_seconds(
+    plans: List[DecodePlan], cfg, n_devices: int
+) -> Tuple[float, float]:
+    """(device_seconds, native_seconds) modeled from the plan.
+
+    Device = kernel steps + H2D/D2H transfers. Each batch of cfg.L lanes
+    runs until its longest lane finishes; batches pack lanes in plan
+    order (like the executor), so the per-batch step count is driven by
+    the batch's longest segment. Lane batches shard across chips with no
+    collectives, so kernel time divides by ``n_devices``; transfers are
+    modeled un-sharded (single host link, the conservative case)."""
+    cal = _auto_calibration()
+    lanes = [lane for p in plans for lane in p.lanes]
+    total_out = sum(p.total_out for p in plans)
+    port_rows = (cfg.RING if cfg.RING else cfg.W) / 4
+    us_per_step = cal["step_a"] + cal["step_b"] * port_rows
+    kernel_us = 0.0
+    for i in range(0, len(lanes), cfg.L):
+        batch = lanes[i : i + cfg.L]
+        max_out = max(
+            lane.out_end[-1] - lane.seg_base for lane in batch
+        )
+        kernel_us += max_out * cal["steps_per_byte"] * us_per_step
+    n_batches = -(-len(lanes) // cfg.L)
+    # staging: inbuf (W_IN) + win_init (W) up, window (W) down, per lane
+    transfer_bytes = n_batches * cfg.L * (cfg.W_IN + 2 * cfg.W)
+    device_s = (
+        kernel_us * 1e-6 / max(1, n_devices)
+        + transfer_bytes / (cal["link_mbs"] * 1e6)
+    )
+    native_s = total_out / (cal["native_mbs"] * 1e6)
+    return device_s, native_s
+
+
 def _resolve_auto_engine(plans: List[DecodePlan]) -> str:
     """The ``auto`` engine: tpu-vmem when the default backend is a real
-    TPU and every segment fits the VMEM kernel budget; the host native
-    engine otherwise. Eligibility is decided from the chunk table alone
-    (no staging), so the check is cheap relative to decode."""
+    TPU, every segment fits the VMEM kernel budget, AND the throughput
+    model favors the device end-to-end; the host native engine
+    otherwise. Eligibility is decided from the chunk table alone (no
+    staging), so the check is cheap relative to decode."""
     # eligibility first: rejecting an ineligible archive must not pay
     # jax/device initialization (host decodes of stock archives would
     # otherwise stall seconds on the first call probing the backend)
@@ -999,16 +1081,29 @@ def _resolve_auto_engine(plans: List[DecodePlan]) -> str:
             f"{total_out} B out)"
         )
         return "native"
+    cfg = choose_vmem_config(plans, for_eligibility=True)
     try:
-        check_vmem_eligibility(
-            lanes, choose_vmem_config(plans, for_eligibility=True)
-        )
+        check_vmem_eligibility(lanes, cfg)
     except VmemIneligible as e:
         _record_fallback(f"auto->native: {e.reason}")
         return "native"
     if not _on_tpu():
         return "native"
-    return "tpu-vmem"
+    import jax
+
+    device_s, native_s = _estimate_engine_seconds(
+        plans, cfg, jax.device_count()
+    )
+    # Route to the device only on a clear modeled win: the model's
+    # constants are coarse, so demand 10% headroom before leaving the
+    # host path the user can always measure.
+    if device_s < native_s * 0.9:
+        return "tpu-vmem"
+    _record_fallback(
+        f"auto->native: modeled device {device_s * 1e3:.1f} ms "
+        f"vs native {native_s * 1e3:.1f} ms"
+    )
+    return "native"
 
 
 def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
@@ -1028,24 +1123,34 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
         return _host_lzma2(data)
     if engine == "auto":
         engine = _resolve_auto_engine([plan])
+    if engine == "tpu":
+        # Public device engine name: the VMEM kernel when a TPU backend
+        # exists, the host engine otherwise. The ~0.3 MB/s/chip XLA lane
+        # kernel is an experiment, reachable only as explicit "tpu-lane".
+        if _on_tpu():
+            engine = "tpu-vmem"
+        else:
+            _record_fallback("tpu->native: no TPU backend")
+            engine = "native"
     if engine == "native":
         try:
             return execute_plan_native(data, [plan])
         except Exception:
             # exact reference-parity error (or output) via sequential host
             return _host_lzma2(data)
-    if engine == "tpu-vmem" or (engine == "tpu" and _on_tpu()):
+    if engine == "tpu-vmem":
         try:
             return execute_plan_vmem(data, [plan])
         except VmemIneligible as e:
             _record_fallback(f"vmem-ineligible: {e.reason}")
-            if engine == "tpu-vmem":
-                return _host_lzma2(data)
+            # valid-but-ineligible archives deserve the parallel host
+            # engine, not the sequential replay (which is for errors)
+            return lzma2_decode(data, engine="native")
         except _KernelError as e:
             _record_fallback(f"host replay: lane error code {e.code}")
             return _host_lzma2(data)
     try:
-        return execute_plan(data, [plan])
+        return execute_plan(data, [plan])  # engine == "tpu-lane"
     except _KernelError as e:
         # Corrupt stream: replay on host for the reference-parity error.
         _record_fallback(f"host replay: lane error code {e.code}")
@@ -1125,8 +1230,6 @@ def xz_decode(data: bytes, engine: str = "tpu") -> bytes:
         return _xz_decode_parallel(data, engine)
     except UnparallelizableStream:
         _record_fallback("host: stream carries prob state across dict reset")
-        from lzma_rs_tpu.models.codecs import xz_decode_stream
-
         return _sequential_xz_replay(data)
 
 
@@ -1234,12 +1337,19 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
         # decoder reproduces the reference's ordering exactly (and
         # re-raises this same error when it really is first).
         _record_fallback("host replay: container error during planning")
-        from lzma_rs_tpu.models.codecs import xz_decode_stream
-
         return _sequential_xz_replay(data)
 
     if engine == "auto":
         engine = _resolve_auto_engine(plans)
+    if engine == "tpu":
+        # Public device engine name (see lzma2_decode): VMEM kernel on a
+        # real TPU, host engine otherwise; the XLA lane kernel is only
+        # reachable as explicit "tpu-lane".
+        if _on_tpu():
+            engine = "tpu-vmem"
+        else:
+            _record_fallback("tpu->native: no TPU backend")
+            engine = "native"
 
     # Pass 2: decode all blocks in one parallel launch. The native engine
     # pipelines: each block's task decodes its segments then verifies its
@@ -1251,34 +1361,27 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
                 data, plans, block_spans, header_flags
             )
         except Exception:
-            from lzma_rs_tpu.models.codecs import xz_decode_stream
-
             return _sequential_xz_replay(data)
         xz_fmt.check_footer(cursor, header_flags, index_size)
         return out
     else:
         out = None
-        if engine == "tpu-vmem" or (engine == "tpu" and _on_tpu()):
+        if engine == "tpu-vmem":
             try:
                 out = execute_plan_vmem(data, plans)
             except VmemIneligible as e:
                 _record_fallback(f"vmem-ineligible: {e.reason}")
-                if engine == "tpu-vmem":
-                    from lzma_rs_tpu.models.codecs import xz_decode_stream
-
-                    return _sequential_xz_replay(data)
+                # valid-but-ineligible archives deserve the parallel
+                # host engine, not the sequential error-replay path
+                return xz_decode(data, engine="native")
             except _KernelError as e:
                 _record_fallback(f"host replay: lane error code {e.code}")
-                from lzma_rs_tpu.models.codecs import xz_decode_stream
-
                 return _sequential_xz_replay(data)
         if out is None:
             try:
-                out = execute_plan(data, plans)
+                out = execute_plan(data, plans)  # engine == "tpu-lane"
             except _KernelError as e:
                 _record_fallback(f"host replay: lane error code {e.code}")
-                from lzma_rs_tpu.models.codecs import xz_decode_stream
-
                 return _sequential_xz_replay(data)
 
     # Pass 3: verify block checks. Stream order for error determinism; the

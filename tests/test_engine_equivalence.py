@@ -44,7 +44,10 @@ def _decode_all_engines(c: bytes):
     for name, fn in [
         ("spec", lambda d: Lzma2Decoder().decompress(ByteCursor(d))),
         ("native", lambda d: runtime.lzma2_decode(d, engine="native")),
-        ("tpu", lambda d: runtime.lzma2_decode(d, engine="tpu")),
+        # "tpu-lane" names the XLA lane kernel explicitly: on CPU hosts
+        # engine="tpu" now falls back to native (runtime round-4), and
+        # this test exists to cross-validate the device kernel
+        ("tpu", lambda d: runtime.lzma2_decode(d, engine="tpu-lane")),
     ]:
         try:
             results[name] = (fn(c), None)

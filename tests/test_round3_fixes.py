@@ -34,6 +34,12 @@ class TestAutoEngine:
         # would route these deliberately tiny fixtures to the host
         monkeypatch.setenv("LZMA_RS_TPU_AUTO_MIN_LANES", "1")
         monkeypatch.setenv("LZMA_RS_TPU_AUTO_MIN_OUT", "1")
+        # the round-4 throughput model would (correctly) route these
+        # deliberately tiny fixtures to the host; calibrate it in the
+        # device's favor so eligibility behavior stays the thing tested
+        # (the model itself is covered by tests/test_round4_fixes.py)
+        monkeypatch.setenv("LZMA_RS_TPU_CAL_LINK_MBS", "1e9")
+        monkeypatch.setenv("LZMA_RS_TPU_CAL_NATIVE_MBS", "1e-6")
 
     def test_auto_picks_vmem_when_on_tpu_and_eligible(self, monkeypatch):
         data, arch = _tpu_archive()
@@ -70,6 +76,8 @@ class TestAutoEngine:
     def test_public_api_auto_routes_tpu(self, monkeypatch):
         data, arch = _tpu_archive()
         monkeypatch.setattr(runtime, "_on_tpu", lambda: True)
+        monkeypatch.setattr(runtime, "_estimate_engine_seconds",
+                            lambda plans, cfg, n: (0.0, 1.0))
         monkeypatch.setenv("LZMA_RS_TPU_BACKEND", "auto")
         with stats_mod.collect() as st:
             out = lzma_rs_tpu.xz_decompress(arch)
