@@ -844,11 +844,17 @@ def decode_segments_vmem2(
             # retire last step's pending window write here, merged with
             # the port pass: one blend traversal applies it and the port
             # selects read the blended view (deferring removes the
-            # separate RMW write traversal the window write used to pay)
+            # separate RMW write traversal the window write used to pay).
+            # Ring mode: wwi/www persist as the word-under-construction
+            # (full contents in-register), so the write section below
+            # merges new bytes with register ops instead of re-reading
+            # the ring — the blend is idempotent and simply re-publishes
+            # the growing word each step.
             if "winwrite" not in _ABLATE:
                 wref[:] = jnp.where(pw_rows == wwi[None], www[None],
                                     wref[:])
-                wwi = zt - 1
+                if not cfg.RING:
+                    wwi = zt - 1
             if "port" in _ABLATE:
                 w0 = pw_idx * 0
                 w1 = w0
@@ -929,8 +935,24 @@ def decode_segments_vmem2(
             widx = outp_w >> 2
             if "winwrite" in _ABLATE:
                 pass
+            elif cfg.RING:
+                # Register-resident output word: ring mode implies
+                # gap-free lanes (runtime.check_vmem_eligibility), so a
+                # write either continues the word under construction
+                # (wwi == widx_t) or starts a fresh word at byte 0 —
+                # bytes the register word does not carry are all >= outp
+                # and unreachable (port reads sit below outp; ring_flush
+                # clips to outp; same-slot content from RING bytes ago is
+                # behind the ERR_RING distance gate). This replaces the
+                # O(RING/4) old-word traversal with three register ops.
+                widx_t = widx & (RW_WORDS - 1)
+                same = widx_t == wwi
+                base = jnp.where(same, www, 0).astype(_U32)
+                new_w = ((base & ~maskp) | placed).astype(_I32)
+                wwi = jnp.where(wmask, widx_t, wwi)
+                www = jnp.where(wmask, new_w, www)
             else:
-                widx_t = widx & (RW_WORDS - 1) if cfg.RING else widx
+                widx_t = widx
                 old_w = onehot_read_word(wref[:], widx_t, NW)
                 new_w = (
                     (old_w.astype(_U32) & ~maskp) | placed
@@ -979,7 +1001,10 @@ def decode_segments_vmem2(
                 rows_w == st_ref[_WWI_SLOT][None],
                 st_ref[_WWW_SLOT][None], wref[:],
             )
-            st_ref[_WWI_SLOT] = jnp.zeros((S, M), _I32) - 1
+            if not cfg.RING:
+                # ring mode keeps the word-under-construction resident
+                # (the blend above is idempotent); see the write section
+                st_ref[_WWI_SLOT] = jnp.zeros((S, M), _I32) - 1
 
         def ring_flush(outp):
             """Bulk-copy the ring's resident range into the full window;
