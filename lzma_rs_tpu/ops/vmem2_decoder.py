@@ -212,12 +212,20 @@ def decode_segments_vmem2(
         win_ref, err_ref, outp_ref, iters_ref,
         st_ref, prob_ref, tile_ref, *extra_scratch,
     ):
-        ring_ref = extra_scratch[0] if cfg.RING else None
+        # Ring storage is PARITY-SPLIT: even words in ring_e, odd words
+        # in ring_o, each RW_WORDS/2 rows. The port needs two adjacent
+        # words (pw_idx, pw_idx+1) every step — one lives in each half,
+        # so the two port selects traverse RW_WORDS/2 rows each instead
+        # of RW_WORDS: the port pass cost halves.
+        ring_e = extra_scratch[0] if cfg.RING else None
+        ring_o = extra_scratch[1] if cfg.RING else None
+        RWH = RW_WORDS // 2 if cfg.RING else 0
         win_ref[:] = win_in_ref[:]
         prob_ref[:] = jnp.full((PROB_WORDS, S, M), PROB_PACKED, _I32)
         tile_ref[:] = jnp.zeros((TILE_WORDS, S, M), _I32)
         if cfg.RING:
-            ring_ref[:] = jnp.zeros((RW_WORDS, S, M), _I32)
+            ring_e[:] = jnp.zeros((RWH, S, M), _I32)
+            ring_o[:] = jnp.zeros((RWH, S, M), _I32)
         zt = jnp.zeros((S, M), _I32)
         st_ref[:] = jnp.zeros((NSLOT, S, M), _I32)
         st_ref[_NODE_SLOT] = zt + N_CHUNK
@@ -838,9 +846,6 @@ def decode_segments_vmem2(
             )
             port_pos = jnp.clip(port_pos, 0, W - 1)
             pw_idx = port_pos >> 2
-            NW = RW_WORDS if cfg.RING else WIN_WORDS
-            wref = ring_ref if cfg.RING else win_ref
-            pw_rows = jax.lax.broadcasted_iota(_I32, (NW, S, M), 0)
             # retire last step's pending window write here, merged with
             # the port pass: one blend traversal applies it and the port
             # selects read the blended view (deferring removes the
@@ -849,11 +854,26 @@ def decode_segments_vmem2(
             # (full contents in-register), so the write section below
             # merges new bytes with register ops instead of re-reading
             # the ring — the blend is idempotent and simply re-publishes
-            # the growing word each step.
-            if "winwrite" not in _ABLATE:
-                wref[:] = jnp.where(pw_rows == wwi[None], www[None],
-                                    wref[:])
-                if not cfg.RING:
+            # the growing word each step, into its parity half.
+            if cfg.RING:
+                rows_h = jax.lax.broadcasted_iota(_I32, (RWH, S, M), 0)
+                if "winwrite" not in _ABLATE:
+                    ie = jnp.where((wwi & 1) == 0, wwi >> 1, -1)
+                    io = jnp.where((wwi & 1) == 1, wwi >> 1, -1)
+                    ring_e[:] = jnp.where(
+                        rows_h == ie[None], www[None], ring_e[:]
+                    )
+                    ring_o[:] = jnp.where(
+                        rows_h == io[None], www[None], ring_o[:]
+                    )
+            else:
+                pw_rows = jax.lax.broadcasted_iota(
+                    _I32, (WIN_WORDS, S, M), 0
+                )
+                if "winwrite" not in _ABLATE:
+                    win_ref[:] = jnp.where(
+                        pw_rows == wwi[None], www[None], win_ref[:]
+                    )
                     wwi = zt - 1
             if "port" in _ABLATE:
                 w0 = pw_idx * 0
@@ -861,14 +881,17 @@ def decode_segments_vmem2(
             elif cfg.RING:
                 r0_ = pw_idx & (RW_WORDS - 1)
                 r1_ = (pw_idx + 1) & (RW_WORDS - 1)
-                w0 = jnp.sum(
-                    jnp.where(pw_rows == r0_[None], ring_ref[:], 0),
-                    axis=0,
+                p0 = r0_ & 1
+                re = jnp.where(p0 == 0, r0_, r1_) >> 1
+                ro = jnp.where(p0 == 0, r1_, r0_) >> 1
+                we = jnp.sum(
+                    jnp.where(rows_h == re[None], ring_e[:], 0), axis=0
                 )
-                w1 = jnp.sum(
-                    jnp.where(pw_rows == r1_[None], ring_ref[:], 0),
-                    axis=0,
+                wo = jnp.sum(
+                    jnp.where(rows_h == ro[None], ring_o[:], 0), axis=0
                 )
+                w0 = jnp.where(p0 == 0, we, wo)
+                w1 = jnp.where(p0 == 0, wo, we)
             else:
                 w0 = jnp.sum(
                     jnp.where(pw_rows == pw_idx[None], win_ref[:], 0),
@@ -953,7 +976,7 @@ def decode_segments_vmem2(
                 www = jnp.where(wmask, new_w, www)
             else:
                 widx_t = widx
-                old_w = onehot_read_word(wref[:], widx_t, NW)
+                old_w = onehot_read_word(win_ref[:], widx_t, WIN_WORDS)
                 new_w = (
                     (old_w.astype(_U32) & ~maskp) | placed
                 ).astype(_I32)
@@ -994,21 +1017,37 @@ def decode_segments_vmem2(
             run before any bulk read of the window — maintenance and
             final ring flushes, and the kernel epilogue (win_ref is the
             output buffer)."""
-            NW = RW_WORDS if cfg.RING else WIN_WORDS
-            wref = ring_ref if cfg.RING else win_ref
-            rows_w = jax.lax.broadcasted_iota(_I32, (NW, S, M), 0)
-            wref[:] = jnp.where(
-                rows_w == st_ref[_WWI_SLOT][None],
-                st_ref[_WWW_SLOT][None], wref[:],
-            )
-            if not cfg.RING:
+            wwi_s = st_ref[_WWI_SLOT]
+            www_s = st_ref[_WWW_SLOT]
+            if cfg.RING:
                 # ring mode keeps the word-under-construction resident
-                # (the blend above is idempotent); see the write section
+                # (the blends are idempotent); see the write section
+                rows_h = jax.lax.broadcasted_iota(_I32, (RWH, S, M), 0)
+                ie = jnp.where((wwi_s & 1) == 0, wwi_s >> 1, -1)
+                io = jnp.where((wwi_s & 1) == 1, wwi_s >> 1, -1)
+                ring_e[:] = jnp.where(
+                    rows_h == ie[None], www_s[None], ring_e[:]
+                )
+                ring_o[:] = jnp.where(
+                    rows_h == io[None], www_s[None], ring_o[:]
+                )
+            else:
+                rows_w = jax.lax.broadcasted_iota(
+                    _I32, (WIN_WORDS, S, M), 0
+                )
+                win_ref[:] = jnp.where(
+                    rows_w == wwi_s[None], www_s[None], win_ref[:]
+                )
                 st_ref[_WWI_SLOT] = jnp.zeros((S, M), _I32) - 1
 
         def ring_flush(outp):
             """Bulk-copy the ring's resident range into the full window;
-            identical semantics to gen-1 (see its docstring)."""
+            identical semantics to gen-1 (see its docstring). The
+            parity halves interleave back to stream order here (leading-
+            dim reshape, amortized over a maintenance period)."""
+            ring_full = jnp.stack(
+                [ring_e[:], ring_o[:]], axis=1
+            ).reshape(RW_WORDS, S, M)
             hi = outp[None]
             lo_w = (jnp.maximum(outp - cfg.RING, 0)[None] + 3) >> 2
             rows_r = jax.lax.broadcasted_iota(_I32, (RW_WORDS, S, M), 0)
@@ -1027,7 +1066,7 @@ def decode_segments_vmem2(
                     ),
                 ) * take
                 blk = win_ref[b * RW_WORDS:(b + 1) * RW_WORDS]
-                merged = (blk & ~bm) | (ring_ref[:] & bm)
+                merged = (blk & ~bm) | (ring_full & bm)
                 win_ref[b * RW_WORDS:(b + 1) * RW_WORDS] = merged
 
         def outer_body(carry):
@@ -1120,7 +1159,8 @@ def decode_segments_vmem2(
             pltpu.VMEM((PROB_WORDS, S, M), jnp.int32),
             pltpu.VMEM((TILE_WORDS, S, M), jnp.int32),  # input lookahead
         ] + (
-            [pltpu.VMEM((RW_WORDS, S, M), jnp.int32)]   # history ring
+            # parity-split history ring (even words / odd words)
+            [pltpu.VMEM((RW_WORDS // 2, S, M), jnp.int32)] * 2
             if cfg.RING else []
         ),
         interpret=interpret,
