@@ -553,7 +553,10 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
     # grows to cover the doubled worst-case consumption per period.
     tb = int(os.environ.get("LZMA_RS_TPU_VMEM_TB", "2"))
     unroll = int(os.environ.get("LZMA_RS_TPU_VMEM_UNROLL", "2"))
-    maint = int(os.environ.get("LZMA_RS_TPU_VMEM_MAINT", "64"))
+    # MAINT=120 fills TILE=384's refill budget exactly (128 + 2*120 + 16)
+    # and measured fastest in the round-4 sweep: 96.3 MB/s/chip vs 92.2
+    # at MAINT=64 (halved maintenance frequency, same in_group rows).
+    maint = int(os.environ.get("LZMA_RS_TPU_VMEM_MAINT", "120"))
     tile_default = 384 if tb == 2 else 256
     # TILE must cover one maintenance period's worst-case input pull
     # (KernelConfig2.__post_init__): 128 + TB*MAINT + 16, rounded up to
