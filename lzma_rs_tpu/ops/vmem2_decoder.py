@@ -128,6 +128,12 @@ class KernelConfig2(KernelConfig):
     L: int = 1024
     UNROLL: int = 2
     TB: int = 1
+    #: 1 = the planner proved every lane's chunks are output-contiguous
+    #: (no prefilled/stored chunks mid-lane), so the full-window path may
+    #: keep the output word under construction in lane registers (same
+    #: scheme ring mode always uses) instead of paying the O(W/4)
+    #: old-word read-modify-write traversal each step.
+    GAPFREE: int = 0
 
     def __post_init__(self):
         super().__post_init__()
@@ -202,6 +208,23 @@ def decode_segments_vmem2(
     IN_WORDS = W_IN // 4
     PROB_WORDS = (HOT_W + LIT_W) // 2  # 2 x 11-bit probs per i32 word
     PROB_PACKED = PROB_INIT | (PROB_INIT << 16)
+
+    # Sublane fold factor: at S < 8 a (rows, S, M) vector op pads to a
+    # full (8, 128) vreg (measured ~1.4x waste at S=2 even before the
+    # 4x row count, tools/probe_round4.py sel_s*), so big tables store F
+    # logical rows per physical row — phys[r // F, (r % F)*S + s, m] —
+    # and every traversal runs over rows/F full vregs. S >= 8 keeps
+    # F = 1 (no layout change for the flagship L=2048 config).
+    # Fold only hardware-shaped tiles (M = 128): interpret-mode test
+    # configs with L <= 128 keep F = 1 (the fold ops would slow the
+    # elementwise interpreter ~5x for no coverage gain); the production
+    # stock-64KiB geometry (L=256 -> S=2, M=128) folds at F=4 and is
+    # exercised in interpret mode by tests/test_vmem2_kernel.py's
+    # L=256 case.
+    F = max(1, 8 // S) if M == 128 else 1
+    FSH = max(F.bit_length() - 1, 0)
+    FS = F * S
+    F_P = F if PROB_WORDS % F == 0 else 1  # prob-table fold (divisibility)
     TILE_WORDS = TILE // 4
     ROW_WORDS = 32  # 128 bytes per input row
 
@@ -220,12 +243,91 @@ def decode_segments_vmem2(
         ring_e = extra_scratch[0] if cfg.RING else None
         ring_o = extra_scratch[1] if cfg.RING else None
         RWH = RW_WORDS // 2 if cfg.RING else 0
-        win_ref[:] = win_in_ref[:]
-        prob_ref[:] = jnp.full((PROB_WORDS, S, M), PROB_PACKED, _I32)
+        # Non-ring working window: parity-split (even/odd words) AND
+        # sublane-folded halves. The port's two adjacent words come one
+        # from each half, so the two port selects traverse W/8/F rows
+        # each; win_ref itself is only the kernel output (epilogue).
+        win_e = None if cfg.RING else extra_scratch[0]
+        win_o = None if cfg.RING else extra_scratch[1]
+        WH = 0 if cfg.RING else WIN_WORDS // 2 // F
+        prob_ref[:] = jnp.full(
+            (PROB_WORDS // F_P, F_P * S, M), PROB_PACKED, _I32
+        )
         tile_ref[:] = jnp.zeros((TILE_WORDS, S, M), _I32)
         if cfg.RING:
+            win_ref[:] = win_in_ref[:]
             ring_e[:] = jnp.zeros((RWH, S, M), _I32)
             ring_o[:] = jnp.zeros((RWH, S, M), _I32)
+        else:
+            win2 = win_in_ref[:].reshape(WIN_WORDS // 2, 2, S, M)
+            win_e[:] = win2[:, 0].reshape(WH, FS, M)
+            win_o[:] = win2[:, 1].reshape(WH, FS, M)
+
+        def _tile_lane(v):
+            """(S, M) lane value -> (F*S, M) broadcast across fold slots."""
+            return jnp.tile(v, (F, 1)) if F > 1 else v
+
+        subi_f = (
+            jax.lax.broadcasted_iota(_I32, (FS, M), 0) // S
+            if F > 1 else None
+        )
+
+        def fold_read(table, idx, nrows, f):
+            """Folded one-hot word read: table is (nrows//f, f*S, M),
+            idx the logical (S, M) row; exact-sum recovery as in
+            onehot_read_word."""
+            if f == 1:
+                rows = jax.lax.broadcasted_iota(_I32, (nrows, S, M), 0)
+                return jnp.sum(
+                    jnp.where(rows == idx[None], table, 0), axis=0
+                )
+            R = nrows // f
+            rows = jax.lax.broadcasted_iota(_I32, (R, FS, M), 0)
+            hi = _tile_lane(idx >> FSH)
+            blk = jnp.sum(jnp.where(rows == hi[None], table, 0), axis=0)
+            lo = _tile_lane(idx & (f - 1))
+            picked = jnp.where(subi_f == lo, blk, 0)
+            return jnp.sum(picked.reshape(f, S, M), axis=0)
+
+        def fold_blend(table_ref, idx, val, nrows, f, idx2=None, val2=None):
+            """Folded per-lane word write(s): table[idx] = val (and
+            table[idx2] = val2, newest outermost); idx < 0 = no write.
+            One traversal applies both pendings."""
+            if f == 1:
+                rows = jax.lax.broadcasted_iota(_I32, (nrows, S, M), 0)
+                if idx2 is not None:
+                    # nested single blend (newest outermost) — keeps the
+                    # round-3 one-traversal structure Mosaic fuses well
+                    table_ref[:] = jnp.where(
+                        rows == idx2[None], val2[None],
+                        jnp.where(
+                            rows == idx[None], val[None], table_ref[:]
+                        ),
+                    )
+                else:
+                    table_ref[:] = jnp.where(
+                        rows == idx[None], val[None], table_ref[:]
+                    )
+                return
+            R = nrows // f
+            rows = jax.lax.broadcasted_iota(_I32, (R, FS, M), 0)
+
+            def mk(i):
+                hi = _tile_lane(jnp.where(i >= 0, i >> FSH, -1))
+                lo = subi_f == _tile_lane(i & (f - 1))
+                return (rows == hi[None]) & lo[None]
+
+            if idx2 is not None:
+                table_ref[:] = jnp.where(
+                    mk(idx2), _tile_lane(val2)[None],
+                    jnp.where(
+                        mk(idx), _tile_lane(val)[None], table_ref[:]
+                    ),
+                )
+            else:
+                table_ref[:] = jnp.where(
+                    mk(idx), _tile_lane(val)[None], table_ref[:]
+                )
         zt = jnp.zeros((S, M), _I32)
         st_ref[:] = jnp.zeros((NSLOT, S, M), _I32)
         st_ref[_NODE_SLOT] = zt + N_CHUNK
@@ -329,9 +431,6 @@ def decode_segments_vmem2(
             pos_state = outp & ((1 << pb) - 1)
             st4 = state * NPS + pos_state
             len_base = jnp.where(len_rep == 1, H_REP_LEN, H_LEN)
-            prob_rows = jax.lax.broadcasted_iota(
-                _I32, (PROB_WORDS, S, M), 0
-            )
 
             # -------- Stage A/B x TB: bit-decode loop -------------------
             # j=0 serves every bit-consuming node (control + tree); j>=1
@@ -418,12 +517,9 @@ def decode_segments_vmem2(
                             # blend traversal (newest outermost); the
                             # selects below read the blended table, so no
                             # read fix-ups are needed
-                            prob_ref[:] = jnp.where(
-                                prob_rows == pw1i[None], pw1w[None],
-                                jnp.where(
-                                    prob_rows == pw0i[None], pw0w[None],
-                                    prob_ref[:],
-                                ),
+                            fold_blend(
+                                prob_ref, pw0i, pw0w, PROB_WORDS, F_P,
+                                idx2=pw1i, val2=pw1w,
                             )
                             pw0i = zt - 1
                             pw1i = zt - 1
@@ -443,11 +539,11 @@ def decode_segments_vmem2(
                             node == N_LIT, HOT_W + pair_lit, pair_hot
                         )
                         pair_word = pair_idx >> 1
-                        pword = onehot_read_word(
-                            prob_ref[:], pword_idx, PROB_WORDS
+                        pword = fold_read(
+                            prob_ref[:], pword_idx, PROB_WORDS, F_P
                         )
-                        uw = onehot_read_word(
-                            prob_ref[:], pair_word, PROB_WORDS
+                        uw = fold_read(
+                            prob_ref[:], pair_word, PROB_WORDS, F_P
                         )
                     else:
                         # j == 1: no table traversal — the prefetched
@@ -458,8 +554,8 @@ def decode_segments_vmem2(
                         phalf = pidx & 1
                         pword = jnp.where(pword_idx == pw0i, pw0w, uw)
                 else:
-                    pword = onehot_read_word(prob_ref[:], pword_idx,
-                                             PROB_WORDS)
+                    pword = fold_read(prob_ref[:], pword_idx,
+                                      PROB_WORDS, F_P)
                 p = jnp.where(
                     phalf == 1, (pword >> 16) & 0xFFFF, pword & 0xFFFF
                 ).astype(_U32)
@@ -488,11 +584,10 @@ def decode_segments_vmem2(
                             pw1i = jnp.where(is_prob_act, pword_idx, -1)
                             pw1w = new_pword
                     else:
-                        pm = (
-                            prob_rows == pword_idx[None]
-                        ) & is_prob_act[None]
-                        prob_ref[:] = jnp.where(
-                            pm, new_pword[None], prob_ref[:]
+                        fold_blend(
+                            prob_ref,
+                            jnp.where(is_prob_act, pword_idx, -1),
+                            new_pword, PROB_WORDS, F_P,
                         )
 
                 rng_p = jnp.where(prob_bit == 1, rng_u - bound, bound)
@@ -867,14 +962,17 @@ def decode_segments_vmem2(
                         rows_h == io[None], www[None], ring_o[:]
                     )
             else:
-                pw_rows = jax.lax.broadcasted_iota(
-                    _I32, (WIN_WORDS, S, M), 0
-                )
                 if "winwrite" not in _ABLATE:
-                    win_ref[:] = jnp.where(
-                        pw_rows == wwi[None], www[None], win_ref[:]
-                    )
-                    wwi = zt - 1
+                    # publish the pending word into its parity half
+                    # (folded). GAPFREE keeps it register-resident (same
+                    # protocol as ring mode); otherwise it re-arms next
+                    # write.
+                    ie = jnp.where((wwi & 1) == 0, wwi >> 1, -1)
+                    io = jnp.where((wwi & 1) == 1, wwi >> 1, -1)
+                    fold_blend(win_e, ie, www, WIN_WORDS // 2, F)
+                    fold_blend(win_o, io, www, WIN_WORDS // 2, F)
+                    if not cfg.GAPFREE:
+                        wwi = zt - 1
             if "port" in _ABLATE:
                 w0 = pw_idx * 0
                 w1 = w0
@@ -893,15 +991,15 @@ def decode_segments_vmem2(
                 w0 = jnp.where(p0 == 0, we, wo)
                 w1 = jnp.where(p0 == 0, wo, we)
             else:
-                w0 = jnp.sum(
-                    jnp.where(pw_rows == pw_idx[None], win_ref[:], 0),
-                    axis=0,
-                )
-                pw1 = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
-                w1 = jnp.sum(
-                    jnp.where(pw_rows == pw1[None], win_ref[:], 0),
-                    axis=0,
-                )
+                r0_ = pw_idx
+                r1_ = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
+                p0 = r0_ & 1
+                re = jnp.where(p0 == 0, r0_, r1_) >> 1
+                ro = jnp.where(p0 == 0, r1_, r0_) >> 1
+                we = fold_read(win_e[:], re, WIN_WORDS // 2, F)
+                wo = fold_read(win_o[:], ro, WIN_WORDS // 2, F)
+                w0 = jnp.where(p0 == 0, we, wo)
+                w1 = jnp.where(p0 == 0, wo, we)
             port_byte = _extract_byte(w0, port_pos & 3)
             mbyte = jnp.where(matched, port_byte, mbyte)
             w0u = w0.astype(_U32)
@@ -974,9 +1072,21 @@ def decode_segments_vmem2(
                 new_w = ((base & ~maskp) | placed).astype(_I32)
                 wwi = jnp.where(wmask, widx_t, wwi)
                 www = jnp.where(wmask, new_w, www)
+            elif cfg.GAPFREE:
+                # planner-proved gap-free: same register-resident word
+                # scheme as ring mode, on the full window
+                widx_t = widx
+                same = widx_t == wwi
+                base = jnp.where(same, www, 0).astype(_U32)
+                new_w = ((base & ~maskp) | placed).astype(_I32)
+                wwi = jnp.where(wmask, widx_t, wwi)
+                www = jnp.where(wmask, new_w, www)
             else:
                 widx_t = widx
-                old_w = onehot_read_word(win_ref[:], widx_t, WIN_WORDS)
+                p_w = widx_t & 1
+                oe = fold_read(win_e[:], widx_t >> 1, WIN_WORDS // 2, F)
+                oo = fold_read(win_o[:], widx_t >> 1, WIN_WORDS // 2, F)
+                old_w = jnp.where(p_w == 0, oe, oo)
                 new_w = (
                     (old_w.astype(_U32) & ~maskp) | placed
                 ).astype(_I32)
@@ -1032,13 +1142,12 @@ def decode_segments_vmem2(
                     rows_h == io[None], www_s[None], ring_o[:]
                 )
             else:
-                rows_w = jax.lax.broadcasted_iota(
-                    _I32, (WIN_WORDS, S, M), 0
-                )
-                win_ref[:] = jnp.where(
-                    rows_w == wwi_s[None], www_s[None], win_ref[:]
-                )
-                st_ref[_WWI_SLOT] = jnp.zeros((S, M), _I32) - 1
+                ie = jnp.where((wwi_s & 1) == 0, wwi_s >> 1, -1)
+                io = jnp.where((wwi_s & 1) == 1, wwi_s >> 1, -1)
+                fold_blend(win_e, ie, www_s, WIN_WORDS // 2, F)
+                fold_blend(win_o, io, www_s, WIN_WORDS // 2, F)
+                if not cfg.GAPFREE:
+                    st_ref[_WWI_SLOT] = jnp.zeros((S, M), _I32) - 1
 
         def ring_flush(outp):
             """Bulk-copy the ring's resident range into the full window;
@@ -1082,23 +1191,20 @@ def decode_segments_vmem2(
                 # retire outstanding deferred prob writes BEFORE the
                 # parked-reset blend below wipes the table — a stale
                 # pending applied after a reset would resurrect old state
-                rows_p = jax.lax.broadcasted_iota(
-                    _I32, (PROB_WORDS, S, M), 0
-                )
-                prob_ref[:] = jnp.where(
-                    rows_p == st_ref[_PW1I_SLOT][None],
-                    st_ref[_PW1W_SLOT][None],
-                    jnp.where(
-                        rows_p == st_ref[_PW0I_SLOT][None],
-                        st_ref[_PW0W_SLOT][None],
-                        prob_ref[:],
-                    ),
+                fold_blend(
+                    prob_ref, st_ref[_PW0I_SLOT], st_ref[_PW0W_SLOT],
+                    PROB_WORDS, F_P,
+                    idx2=st_ref[_PW1I_SLOT], val2=st_ref[_PW1W_SLOT],
                 )
                 neg1 = jnp.zeros((S, M), _I32) - 1
                 st_ref[_PW0I_SLOT] = neg1
                 st_ref[_PW1I_SLOT] = neg1
-            p32 = (pending == 1).astype(_I32)[None]
-            prob_ref[:] = prob_ref[:] + (PROB_PACKED - prob_ref[:]) * p32
+            p32 = (pending == 1).astype(_I32)
+            if F_P > 1:
+                p32 = jnp.tile(p32, (F_P, 1))
+            prob_ref[:] = prob_ref[:] + (
+                PROB_PACKED - prob_ref[:]
+            ) * p32[None]
             st_ref[_META_SLOT] = jnp.where(
                 pending == 1, (meta & ~0x30) | (2 << 4), meta
             )
@@ -1134,6 +1240,14 @@ def decode_segments_vmem2(
         flush_pending_window()
         if cfg.RING:
             ring_flush(st_ref[_OUTP_SLOT])  # final partial-period flush
+        else:
+            # interleave the parity halves back to stream order (leading-
+            # dim reshapes are layout no-ops; the stack is one bulk copy)
+            e_un = win_e[:].reshape(WIN_WORDS // 2, S, M)
+            o_un = win_o[:].reshape(WIN_WORDS // 2, S, M)
+            win_ref[:] = jnp.stack(
+                [e_un, o_un], axis=1
+            ).reshape(WIN_WORDS, S, M)
         err_ref[:] = (st_ref[_META_SLOT] & 15)[None]
         outp_ref[:] = st_ref[_OUTP_SLOT][None]
         iters_ref[:] = (jnp.zeros((S, M), _I32) + final_it)[None]
@@ -1156,12 +1270,14 @@ def decode_segments_vmem2(
         ),
         scratch_shapes=[
             pltpu.VMEM((NSLOT, S, M), jnp.int32),      # lane state slots
-            pltpu.VMEM((PROB_WORDS, S, M), jnp.int32),
+            pltpu.VMEM((PROB_WORDS // F_P, F_P * S, M), jnp.int32),
             pltpu.VMEM((TILE_WORDS, S, M), jnp.int32),  # input lookahead
         ] + (
             # parity-split history ring (even words / odd words)
             [pltpu.VMEM((RW_WORDS // 2, S, M), jnp.int32)] * 2
-            if cfg.RING else []
+            if cfg.RING else
+            # parity-split + sublane-folded working window halves
+            [pltpu.VMEM((WIN_WORDS // 2 // F, F * S, M), jnp.int32)] * 2
         ),
         interpret=interpret,
     )(

@@ -479,7 +479,8 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
     # gap-free segments; a foreign lc=0 archive with longer distances
     # costs one ERR_RING retry on the full-window kernel.
     ring = 0
-    if nlit == 1 and bucket >= 4096 and _plans_gap_free(plans):
+    gap_free = _plans_gap_free(plans)
+    if nlit == 1 and bucket >= 4096 and gap_free:
         ring = 2048
     # deeper unroll amortizes while-loop overhead and more lanes amortize
     # per-step op-issue overhead; both bounded by the 16 MB scoped-VMEM
@@ -574,12 +575,19 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
         return SimpleNamespace(
             L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, K=8, UNROLL=unroll,
             RING=ring, NPS=nps, TB=tb, TILE=tile, MAINT=maint,
+            GAPFREE=1 if gap_free else 0,
         )
     from lzma_rs_tpu.ops import vmem2_decoder as vd2
 
+    # GAPFREE lets the full-window path keep the output word register-
+    # resident (drops the O(W/4) old-word traversal); sound exactly when
+    # every lane's chunks are output-contiguous, which the planner just
+    # proved. Ring mode requires gap-free anyway, so a ring-miss retry
+    # (RING=0 replace) inherits a valid GAPFREE=1.
     return vd2.KernelConfig2(
         L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, UNROLL=unroll, RING=ring,
         NPS=nps, TB=tb, TILE=tile, MAINT=maint,
+        GAPFREE=1 if gap_free else 0,
     )
 
 
