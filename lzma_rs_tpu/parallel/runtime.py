@@ -819,6 +819,26 @@ def _execute_plan_vmem(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    # Transfer/compute pipelining: a workload that would fit 1-3 launches
+    # splits into >= 4 smaller-L launches so H2D(n+1) overlaps kernel(n)
+    # and D2H(n-1) (jax dispatch is async; per-lane kernel cost is
+    # L-invariant — pass cost scales with the lane-tile count). Only on
+    # real hardware, single-device, and when the user did not pin L.
+    import os as _os
+
+    if (
+        not interpret
+        and len(lanes) >= 512
+        and -(-len(lanes) // cfg.L) < 4
+        and not _os.environ.get("LZMA_RS_TPU_VMEM_L")
+        and _os.environ.get("LZMA_RS_TPU_PIPE", "1") != "0"
+        and _n_local_devices() == 1
+    ):
+        target = max(256, _next_pow2(-(-len(lanes) // 4)))
+        if target < cfg.L:
+            cfg = dataclasses.replace(cfg, L=target)
+
     # Iteration cap: <= 8 bits per staged input byte, one step per output
     # byte (copies), chunk setups, refill waits, and up to ~2 maintenance
     # periods of reset-parking per chunk (vmem_decoder Stage E).
@@ -940,6 +960,12 @@ def _execute_plan_vmem(
             rows_used = (max(seg_lens) + 3) // 4
             n_act = len(batch)
             win = win[:rows_used, :n_act]
+            # start the D2H copy as soon as the kernel finishes, off the
+            # critical path (later launches keep the device busy while
+            # earlier results stream back)
+            for arr in (win, err, outp, iters):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
             pending_batches.append(
                 (base, batch, seg_lens, win, err, outp, iters)
             )
