@@ -1052,8 +1052,10 @@ def _auto_calibration() -> dict:
     return {
         "native_mbs": f("LZMA_RS_TPU_CAL_NATIVE_MBS", 120.0),
         "link_mbs": f("LZMA_RS_TPU_CAL_LINK_MBS", 25.0),
-        "step_a": f("LZMA_RS_TPU_CAL_STEP_A", 5.7),
-        "step_b": f("LZMA_RS_TPU_CAL_STEP_B", 0.00457),
+        # round-4 kernel fit (docs/KERNEL_r04.md): 5.49 us at 512 ring
+        # rows, 8.52 us at 16384 full-window rows (sublane-folded)
+        "step_a": f("LZMA_RS_TPU_CAL_STEP_A", 5.4),
+        "step_b": f("LZMA_RS_TPU_CAL_STEP_B", 0.000191),
         "steps_per_byte": f("LZMA_RS_TPU_CAL_STEPS_PER_B", 3.2),
     }
 
