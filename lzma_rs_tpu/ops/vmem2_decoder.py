@@ -94,7 +94,7 @@ _SLOTS = (
     "node", "meta", "rng", "cod", "inp", "inend", "outp", "outend",
     "state", "rep0", "rep1", "rep2", "rep3", "acc", "cnt", "tmp", "rev",
     "length", "dist", "mbyte", "prevb", "tile_base",
-    "pw0i", "pw0w", "pw1i", "pw1w", "wwi", "www",
+    "pw0i", "pw0w", "pw1i", "pw1w", "wwi", "www", "pubi", "pubw",
 )
 NSLOT = len(_SLOTS)
 _OUTP_SLOT = _SLOTS.index("outp")
@@ -108,6 +108,8 @@ _PW1I_SLOT = _SLOTS.index("pw1i")
 _PW1W_SLOT = _SLOTS.index("pw1w")
 _WWI_SLOT = _SLOTS.index("wwi")
 _WWW_SLOT = _SLOTS.index("www")
+_PUBI_SLOT = _SLOTS.index("pubi")
+_PUBW_SLOT = _SLOTS.index("pubw")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -335,6 +337,7 @@ def decode_segments_vmem2(
         st_ref[_PW0I_SLOT] = zt - 1  # no pending prob writes
         st_ref[_PW1I_SLOT] = zt - 1
         st_ref[_WWI_SLOT] = zt - 1  # no pending window/ring write
+        st_ref[_PUBI_SLOT] = zt - 1  # no completed word awaiting publish
 
         def load_state():
             return tuple(st_ref[i] for i in range(NSLOT))
@@ -418,7 +421,7 @@ def decode_segments_vmem2(
             (node0, meta0, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
              mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
-             wwi, www) = carry
+             wwi, www, pubi, pubw) = carry
             err = meta0 & 15
             pending = (meta0 >> 4) & 3
             len_rep = (meta0 >> 6) & 1
@@ -953,13 +956,22 @@ def decode_segments_vmem2(
             if cfg.RING:
                 rows_h = jax.lax.broadcasted_iota(_I32, (RWH, S, M), 0)
                 if "winwrite" not in _ABLATE:
-                    ie = jnp.where((wwi & 1) == 0, wwi >> 1, -1)
-                    io = jnp.where((wwi & 1) == 1, wwi >> 1, -1)
+                    # publish only COMPLETED words: a partially-built
+                    # word must not clobber its ring slot early — the
+                    # slot still holds the word from RING bytes back,
+                    # and a copy at dist close to RING reads those top
+                    # bytes (the round-4 ring-miss regression). The word
+                    # under construction stays register-resident; the
+                    # port splices it below. Republish is idempotent.
+                    pv = pubi >= 0
+                    pslot = pubi & (RW_WORDS - 1)
+                    ie = jnp.where(pv & ((pslot & 1) == 0), pslot >> 1, -1)
+                    io = jnp.where(pv & ((pslot & 1) == 1), pslot >> 1, -1)
                     ring_e[:] = jnp.where(
-                        rows_h == ie[None], www[None], ring_e[:]
+                        rows_h == ie[None], pubw[None], ring_e[:]
                     )
                     ring_o[:] = jnp.where(
-                        rows_h == io[None], www[None], ring_o[:]
+                        rows_h == io[None], pubw[None], ring_o[:]
                     )
             else:
                 if "winwrite" not in _ABLATE:
@@ -990,6 +1002,11 @@ def decode_segments_vmem2(
                 )
                 w0 = jnp.where(p0 == 0, we, wo)
                 w1 = jnp.where(p0 == 0, wo, we)
+                # register-word splice: reads that target the word under
+                # construction (absolute index match — slot aliases from
+                # RING bytes back correctly fall through to the ring)
+                w0 = jnp.where(pw_idx == wwi, www, w0)
+                w1 = jnp.where(pw_idx + 1 == wwi, www, w1)
             else:
                 r0_ = pw_idx
                 r1_ = jnp.minimum(pw_idx + 1, WIN_WORDS - 1)
@@ -1057,20 +1074,21 @@ def decode_segments_vmem2(
             if "winwrite" in _ABLATE:
                 pass
             elif cfg.RING:
-                # Register-resident output word: ring mode implies
-                # gap-free lanes (runtime.check_vmem_eligibility), so a
-                # write either continues the word under construction
-                # (wwi == widx_t) or starts a fresh word at byte 0 —
-                # bytes the register word does not carry are all >= outp
-                # and unreachable (port reads sit below outp; ring_flush
-                # clips to outp; same-slot content from RING bytes ago is
-                # behind the ERR_RING distance gate). This replaces the
-                # O(RING/4) old-word traversal with three register ops.
-                widx_t = widx & (RW_WORDS - 1)
-                same = widx_t == wwi
+                # Register-resident output word (ABSOLUTE index): ring
+                # mode implies gap-free lanes, so a write either
+                # continues the word under construction (widx == wwi) or
+                # starts a fresh word at byte 0. Crossing hands the
+                # completed word to the publish slot (applied by the
+                # next step's port blend); the fresh word stays in
+                # registers so the ring slot keeps serving its
+                # RING-bytes-back content until the new word completes.
+                same = widx == wwi
+                crossed = wmask & ~same
+                pubi = jnp.where(crossed, wwi, pubi)
+                pubw = jnp.where(crossed, www, pubw)
                 base = jnp.where(same, www, 0).astype(_U32)
                 new_w = ((base & ~maskp) | placed).astype(_I32)
-                wwi = jnp.where(wmask, widx_t, wwi)
+                wwi = jnp.where(wmask, widx, wwi)
                 www = jnp.where(wmask, new_w, www)
             elif cfg.GAPFREE:
                 # planner-proved gap-free: same register-resident word
@@ -1119,7 +1137,7 @@ def decode_segments_vmem2(
             return (node, meta, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
                     dist, mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
-                    wwi, www)
+                    wwi, www, pubi, pubw)
 
         def flush_pending_window():
             """Apply the deferred window/ring write held in the wwi/www
@@ -1130,16 +1148,22 @@ def decode_segments_vmem2(
             wwi_s = st_ref[_WWI_SLOT]
             www_s = st_ref[_WWW_SLOT]
             if cfg.RING:
-                # ring mode keeps the word-under-construction resident
-                # (the blends are idempotent); see the write section
+                # publish the pending COMPLETED word (idempotent); the
+                # word under construction stays register-resident — its
+                # written bytes reach the full window via ring_flush's
+                # direct merge, never the ring (see the write section)
+                pubi_s = st_ref[_PUBI_SLOT]
+                pubw_s = st_ref[_PUBW_SLOT]
                 rows_h = jax.lax.broadcasted_iota(_I32, (RWH, S, M), 0)
-                ie = jnp.where((wwi_s & 1) == 0, wwi_s >> 1, -1)
-                io = jnp.where((wwi_s & 1) == 1, wwi_s >> 1, -1)
+                pv = pubi_s >= 0
+                pslot = pubi_s & (RW_WORDS - 1)
+                ie = jnp.where(pv & ((pslot & 1) == 0), pslot >> 1, -1)
+                io = jnp.where(pv & ((pslot & 1) == 1), pslot >> 1, -1)
                 ring_e[:] = jnp.where(
-                    rows_h == ie[None], www_s[None], ring_e[:]
+                    rows_h == ie[None], pubw_s[None], ring_e[:]
                 )
                 ring_o[:] = jnp.where(
-                    rows_h == io[None], www_s[None], ring_o[:]
+                    rows_h == io[None], pubw_s[None], ring_o[:]
                 )
             else:
                 ie = jnp.where((wwi_s & 1) == 0, wwi_s >> 1, -1)
@@ -1177,6 +1201,28 @@ def decode_segments_vmem2(
                 blk = win_ref[b * RW_WORDS:(b + 1) * RW_WORDS]
                 merged = (blk & ~bm) | (ring_full & bm)
                 win_ref[b * RW_WORDS:(b + 1) * RW_WORDS] = merged
+            # the register-resident word under construction never touched
+            # the ring: merge its written bytes (< outp) straight into
+            # the window (one full-window pass per maintenance period)
+            cur_i = st_ref[_WWI_SLOT]
+            cur_w = st_ref[_WWW_SLOT]
+            rows_w = jax.lax.broadcasted_iota(_I32, (WIN_WORDS, S, M), 0)
+            tcur = jnp.clip(outp - cur_i * 4, 0, 4)
+            bmc = jnp.where(
+                tcur == 0, 0,
+                jnp.where(
+                    tcur == 1, 0xFF,
+                    jnp.where(
+                        tcur == 2, 0xFFFF,
+                        jnp.where(tcur == 3, 0xFFFFFF, -1),
+                    ),
+                ),
+            )
+            win_ref[:] = jnp.where(
+                rows_w == cur_i[None],
+                (win_ref[:] & ~bmc[None]) | (cur_w[None] & bmc[None]),
+                win_ref[:],
+            )
 
         def outer_body(carry):
             it, _ = carry

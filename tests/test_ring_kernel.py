@@ -118,3 +118,49 @@ class TestRingKernel:
         plans, *_ = runtime.plan_xz(arch)
         cfg = runtime.choose_vmem_config(plans)
         assert cfg.RING == 0
+
+
+# --- gen-2 ring kernel (round 4): register-resident output word -------
+#
+# The gen-2 ring path keeps the output word under construction in lane
+# registers and publishes only COMPLETED words to the ring, so a ring
+# slot keeps serving its RING-bytes-back content until the aliasing new
+# word is done. The round-4 regression (bench ring-miss): an early
+# full-replace publish zeroed a boundary word's top bytes, corrupting
+# copies at dist close to RING (docs/KERNEL_r04.md).
+
+from lzma_rs_tpu.ops.vmem2_decoder import KernelConfig2
+
+CFG2 = KernelConfig2(L=4, W=4096, W_IN=4096, NLIT=1, K=8, RING=512,
+                     TB=2, TILE=384, MAINT=64)
+
+
+def _decode_ring2(arch: bytes) -> bytes:
+    plans, *_ = runtime.plan_xz(arch)
+    return runtime.execute_plan_vmem(arch, plans, config=CFG2,
+                                     interpret=True)
+
+
+class TestRingKernelGen2:
+    def test_dist_at_ring_edge(self):
+        page = bytes((i * 37 + 11) & 0xFF for i in range(512))
+        data = page * 8
+        assert _decode_ring2(_archive(data)) == data
+
+    def test_dist_at_ring_edge_misaligned(self):
+        # shift the page phase so dist == RING copies start at every
+        # byte-in-word offset: the source's boundary word then has its
+        # top bytes exactly RING back while the aliasing output word is
+        # only partially built (the round-4 failure shape)
+        for shift in (1, 2, 3, 5):
+            page = bytes((i * 73 + shift) & 0xFF for i in range(512))
+            data = (b"x" * shift + page * 7)[:3800]
+            assert _decode_ring2(_archive(data)) == data, shift
+
+    def test_text_ring2(self):
+        data = read_ref("foo.txt")[:6000]
+        assert _decode_ring2(_archive(data)) == data
+
+    def test_small_distance_overlaps_ring2(self):
+        data = (b"ab" * 900 + b"\x00" * 700 + b"cdcdcd" * 150)[:3600]
+        assert _decode_ring2(_archive(data)) == data
