@@ -2025,7 +2025,11 @@ struct OptNode {
   uint32_t reps[4];  // rep LRU (0-based distances) along the best path
 };
 
-constexpr int kOptWin = 128;
+// Round-4: 128 -> 512. Short windows force a "land on node n" parse
+// whose boundary distorts literal-vs-match choices every 128 bytes;
+// 512 quarters the boundary frequency and the overshoot credit below
+// removes most of the rest (foo.txt L6 ratio 1.020 -> see RATIO_PINS).
+constexpr int kOptWin = 512;
 
 // Emit one parsed step at `pos`, resolving distance-coded reps against
 // the encoder's true LRU. Always produces the same decoded bytes.
@@ -2126,8 +2130,14 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
     }
   }
   const int n = int(std::min<size_t>(kOptWin, end - start));
+  // Nodes extend past the window end by a full match length: a match
+  // from node i < n may land anywhere in (n, n + kMaxMatchLen]; keeping
+  // those terminals un-clamped lets the trace-back credit the extra
+  // covered bytes instead of charging a full match price against a
+  // literal path that covers less input (the old clamp-to-n rule).
+  const int nx = n + int(kMaxMatchLen);
   static thread_local std::vector<OptNode> nodes;
-  nodes.assign(size_t(n) + 1, OptNode{kInf, -1, 0, 0, 0, 0, {0, 0, 0, 0}});
+  nodes.assign(size_t(nx) + 1, OptNode{kInf, -1, 0, 0, 0, 0, {0, 0, 0, 0}});
   nodes[0].cost = 0;
   nodes[0].st = uint8_t(enc.state);
   for (int r = 0; r < 4; r++) nodes[0].reps[r] = enc.rep[r];
@@ -2145,7 +2155,7 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
     const uint32_t rp[4] = {ni.reps[0], ni.reps[1], ni.reps[2], ni.reps[3]};
     auto relax = [&](size_t j, uint64_t cost, uint8_t kind, uint16_t len,
                      uint32_t dist, int r) {
-      size_t jj = j > size_t(n) ? size_t(n) : j;
+      size_t jj = j > size_t(nx) ? size_t(nx) : j;
       OptNode& nd = nodes[jj];
       if (cost >= nd.cost) return;
       nd.cost = cost;
@@ -2197,10 +2207,10 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
               uint32_t(d), 0);
       if (l < 2) continue;
       uint32_t lmax = uint32_t(l);
-      for (uint32_t len = 2; len <= 8 && len <= lmax; len++)
+      for (uint32_t len = 2; len <= 12 && len <= lmax; len++)
         relax(size_t(i) + len, c + enc.price_rep_st(st, r, len, ps), 2,
               uint16_t(len), uint32_t(d), r);
-      if (lmax > 8)
+      if (lmax > 12)
         relax(size_t(i) + lmax, c + enc.price_rep_st(st, r, lmax, ps), 2,
               uint16_t(lmax), uint32_t(d), r);
     }
@@ -2214,7 +2224,7 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       // each pareto candidate prices the length range its predecessor
       // could not reach (nearer candidates are cheaper for short lens)
       uint32_t lo = prev_len + 1 < 2 ? 2 : prev_len + 1;
-      uint32_t hi = std::min(ml, lo + 6);
+      uint32_t hi = std::min(ml, lo + 14);
       for (uint32_t len = lo; len <= hi; len++)
         relax(size_t(i) + len, c + enc.price_match_st(st, ps, len, md - 1),
               3, uint16_t(len), md, -1);
@@ -2225,10 +2235,29 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
     }
   }
 
-  // Trace the optimal path back from the window end, then emit forward.
+  // Trace the optimal path back from the best terminal at or beyond the
+  // window end. Terminals cover different amounts of input, so compare
+  // cost minus an average-rate credit for the extra bytes (the window's
+  // own realized bits/byte is the estimate) — a match overshooting the
+  // boundary is then rewarded for the future work it removes.
   static thread_local std::vector<int> path;
   path.clear();
-  for (int j = n; j > 0; j = nodes[j].from) path.push_back(j);
+  int best_j = n;
+  {
+    const uint64_t avg = nodes[n].cost != kInf && n > 0
+                             ? nodes[n].cost / uint64_t(n)
+                             : 0;
+    int64_t best_v = INT64_MAX;
+    for (int j = n; j <= nx; j++) {
+      if (nodes[j].cost == kInf) continue;
+      int64_t v = int64_t(nodes[j].cost) - int64_t(avg) * (j - n);
+      if (v < best_v) {
+        best_v = v;
+        best_j = j;
+      }
+    }
+  }
+  for (int j = best_j; j > 0; j = nodes[j].from) path.push_back(j);
   size_t p = start;
   for (auto it = path.rbegin(); it != path.rend(); ++it) {
     const OptNode& s = nodes[*it];

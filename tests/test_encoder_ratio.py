@@ -20,21 +20,22 @@ import lzma_rs_tpu
 from conftest import read_ref
 
 # (file, level) -> max allowed ours/liblzma size ratio.
-# Baseline r3 after per-node (state, rep-LRU) tracking in the DP:
-#   foo.txt {1: 0.995, 6: 1.020, 9: 1.020},
-#   range-coder-edge-case {1: 1.032, 6: 0.996, 9: 0.996} — binary now
-#   BEATS liblzma at levels 6-9.
-# (bt4+DP era: foo 6 was 1.028, rce 6 was 1.033; hash-chain era:
-#  foo 6 was 1.065, rce 6 was 1.169.)
+# Baseline r4 after kOptWin 128->512 + un-clamped overshoot nodes with
+# average-rate credit + denser length pricing:
+#   foo.txt {1: 0.995, 4: 0.996, 6: 1.0048, 9: 1.0048},
+#   range-coder-edge-case {1: 1.032, 4: 0.994, 6: 0.9999, 9: 0.9998}
+# — binary BEATS liblzma at 4-9, text is within 0.5% at 6/9 and beats
+# it at 1/4.
+# (r3: foo 6 was 1.020; bt4+DP era: 1.028; hash-chain era: 1.065.)
 RATIO_PINS = {
     ("foo.txt", 1): 1.005,
-    ("foo.txt", 4): 1.022,
-    ("foo.txt", 6): 1.031,
-    ("foo.txt", 9): 1.031,
+    ("foo.txt", 4): 1.000,
+    ("foo.txt", 6): 1.005,
+    ("foo.txt", 9): 1.005,
     ("range-coder-edge-case", 1): 1.042,
-    ("range-coder-edge-case", 4): 1.001,
-    ("range-coder-edge-case", 6): 1.006,
-    ("range-coder-edge-case", 9): 1.006,
+    ("range-coder-edge-case", 4): 0.999,
+    ("range-coder-edge-case", 6): 1.000,
+    ("range-coder-edge-case", 9): 1.000,
 }
 
 
