@@ -321,3 +321,132 @@ class TestMutationNightly:
         while time.monotonic() < deadline and not failures:
             failures = _run_lzma2_mutations(cases_per_seed=50, rng=rng)
         assert not failures, f"seed {seed}: {failures}"
+
+
+# --- coverage-guided nightly tier (round 4) ---------------------------
+#
+# The reference fuzzes with instrumentation-guided libFuzzer
+# (/root/reference/fuzz/README.md:3-8); the tiers above explore blindly.
+# This tier closes most of the gap: nightly mutants run the pure-Python
+# spec decoder under sys.monitoring line coverage restricted to the
+# decode modules, and any mutant that reaches a new arc is kept as a
+# corpus seed (.bench/fuzz/cov-*.bin, replayed forever by
+# TestCorpusReplay). The cumulative arc set persists in
+# .bench/fuzz/coverage_arcs.json so exploration compounds across runs
+# — a poor-man's libFuzzer corpus distiller.
+
+import json as _json
+import sys as _sys
+
+_COV_MODULES = (
+    "models/spec.py", "models/codecs.py", "formats/xz.py",
+    "formats/lzma2.py", "formats/lzma_header.py", "utils/cursor.py",
+)
+_ARCS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench", "fuzz", "coverage_arcs.json",
+)
+
+
+class _ArcTracker:
+    """Line-granularity coverage over the spec decode modules via
+    sys.monitoring (PEP 669): ~2-3x tracing overhead, cheap enough for
+    the nightly budget."""
+
+    TOOL = _sys.monitoring.COVERAGE_ID
+
+    def __init__(self):
+        self.current = set()
+        mon = _sys.monitoring
+        mon.use_tool_id(self.TOOL, "lzma_rs_tpu-fuzz-cov")
+        mon.register_callback(
+            self.TOOL, mon.events.LINE, self._on_line
+        )
+
+    def _on_line(self, code, line):
+        fn = code.co_filename
+        for suffix in _COV_MODULES:
+            if fn.endswith(suffix):
+                self.current.add(f"{suffix}:{line}")
+                return
+        return _sys.monitoring.DISABLE
+
+    def run(self, fn):
+        """Run fn() with tracing; returns the arc set it touched."""
+        self.current = set()
+        mon = _sys.monitoring
+        mon.set_events(self.TOOL, mon.events.LINE)
+        # per-code-object DISABLE sticks until events are restarted
+        mon.restart_events()
+        try:
+            fn()
+        except Exception:
+            pass  # error paths are exactly the arcs worth finding
+        finally:
+            mon.set_events(self.TOOL, 0)
+        return self.current
+
+    def close(self):
+        _sys.monitoring.free_tool_id(self.TOOL)
+
+
+def _spec_xz_decode(case: bytes):
+    xz_decode_stream(ByteCursor(case))
+
+
+@pytest.mark.slow
+class TestCoverageGuidedNightly:
+    def test_xz_spec_coverage_guided(self):
+        minutes = float(os.environ.get("LZMA_RS_TPU_FUZZ_MINUTES", "3")) / 3
+        seed = int(os.environ.get(
+            "LZMA_RS_TPU_FUZZ_SEED",
+            str(random.SystemRandom().randrange(1 << 48)),
+        ))
+        print(f"coverage fuzz seed: {seed}")
+        rng = random.Random(seed)
+
+        known = set()
+        if os.path.exists(_ARCS_PATH):
+            known = set(_json.load(open(_ARCS_PATH)))
+        start_arcs = len(known)
+
+        tracker = _ArcTracker()
+        try:
+            seeds = _xz_seed_cases() + _corpus_cases()
+            # warm: replay seeds so only genuinely new arcs count
+            for s in seeds:
+                known |= tracker.run(lambda: _spec_xz_decode(s))
+
+            deadline = time.monotonic() + minutes * 60
+            kept = cases = 0
+            failures = []
+            while time.monotonic() < deadline and len(failures) <= 5:
+                for s in seeds:
+                    for case in _mutations(rng, s, 20, stacked=True):
+                        cases += 1
+                        arcs = tracker.run(
+                            lambda: _spec_xz_decode(case)
+                        )
+                        new = arcs - known
+                        if new:
+                            known |= new
+                            kept += 1
+                            path = _save_to_corpus(case, "cov")
+                            # new-arc cases must still satisfy the
+                            # differential contract
+                            why = _xz_agree(case)
+                            if why and why not in ALLOWED_XZ_DIVERGENCES:
+                                failures.append(f"{path}: {why}")
+                    if time.monotonic() >= deadline:
+                        break
+        finally:
+            tracker.close()
+
+        os.makedirs(os.path.dirname(_ARCS_PATH), exist_ok=True)
+        with open(_ARCS_PATH, "w") as f:
+            _json.dump(sorted(known), f)
+        print(
+            f"coverage fuzz: {cases} cases, arcs {start_arcs} -> "
+            f"{len(known)} (+{kept} corpus seeds)"
+        )
+        assert not failures, f"seed {seed}: {failures}"
