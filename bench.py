@@ -120,11 +120,23 @@ def bench_tpu(expected: bytes) -> dict:
     dev = devbench.device_throughput(cx, verify=data)
     log(f"tpu device-resident (chained): {dev['mb_s']:.1f} MB/s/chip  "
         f"{dev['us_per_step']:.2f} us/step  L={dev['lanes']}")
+    # Multi-chip projection, reported ONLY with its measured basis: the
+    # production shard_map path timed against the plain kernel on the
+    # one real chip (lane dp split needs zero collectives; the overhead
+    # is the launch/stitch cost). VERDICT r3 item 9.
+    oh = devbench.sharding_overhead(cx)
+    oh_pct = max(0.0, oh["overhead_pct"])
+    proj4 = dev["mb_s"] * 4 * (1 - oh_pct / 100.0)
+    log(f"tpu sharding overhead (1-chip shard_map vs plain): "
+        f"{oh['overhead_pct']:+.1f}%  -> projected 4-chip "
+        f"{proj4:.0f} MB/s")
     out = {
         "tpu_e2e_mb_s": round(e2e_mbs, 1),
         "tpu_device_mb_s": round(dev["mb_s"], 1),
         "tpu_us_per_step": round(dev["us_per_step"], 3),
         "tpu_corpus_mb": round(len(data) / 1e6, 1),
+        "tpu_shard_overhead_pct": round(oh["overhead_pct"], 1),
+        "tpu_projected_4chip_mb_s": round(proj4, 0),
     }
     out.update(bench_tpu_stock64k(expected))
     return out

@@ -130,3 +130,61 @@ def device_throughput(
         "out_bytes": out_bytes,
         "config": str(cfg),
     }
+
+
+def sharding_overhead(archive: bytes, cfg=None, chain: int = 8) -> dict:
+    """Measured single-chip sharding overhead: the same batch timed
+    through the plain jitted kernel and through the production
+    ``shard_map`` path on a 1-device mesh. The difference is the
+    launch/stitch cost the dp split adds per call — the honest basis for
+    any ``mb_s x n_chips`` projection (multi-chip hardware is not
+    available here; lane sharding itself needs zero collectives)."""
+    import jax
+
+    from lzma_rs_tpu.ops import vmem2_decoder as vd2
+    from lzma_rs_tpu.parallel import runtime
+
+    cfg, dev_args, out_bytes = stage_first_batch(archive, cfg)
+    max_iters = (
+        8 * cfg.W_IN + 2 * cfg.W + cfg.MAINT * (3 * cfg.K + 4) + 1024
+    )
+    plain = runtime._jitted_vmem_decoder(isinstance(cfg, vd2.KernelConfig2))
+    sharded = runtime._sharded_vmem_decoder(1, cfg, max_iters, False)
+
+    import numpy as _np
+
+    # warm both compiled paths
+    _np.asarray(sharded(*dev_args)[1])
+    _np.asarray(
+        plain(*dev_args, config=cfg, max_iters=max_iters,
+              interpret=False)[1]
+    )
+
+    # Interleaved single calls; a fresh perturbed input per call (inbuf
+    # tail rows beyond every lane's in_end are never read) defeats the
+    # tunnel's same-input result cache, and fetching the small err
+    # output forces completion (block_until_ready does not reliably
+    # block on the axon platform). Median of `chain` reps per path.
+    t_p, t_s = [], []
+    salt = 0
+    for _ in range(max(3, chain // 2)):
+        for times, call in (
+            (t_s, lambda *a: sharded(*a)),
+            (t_p, lambda *a: plain(*a, config=cfg, max_iters=max_iters,
+                                   interpret=False)),
+        ):
+            salt += 101
+            inb = dev_args[0].at[-1, :].add(salt)
+            t0 = time.perf_counter()
+            outs = call(inb, *dev_args[1:])
+            _np.asarray(outs[1])
+            times.append(time.perf_counter() - t0)
+    t_plain = sorted(t_p)[len(t_p) // 2]
+    t_shard = sorted(t_s)[len(t_s) // 2]
+    return {
+        "plain_s": t_plain,
+        "sharded_s": t_shard,
+        "overhead_pct": 100.0 * (t_shard - t_plain) / t_plain,
+        "mb_s_plain": out_bytes / 1e6 / t_plain,
+        "mb_s_sharded": out_bytes / 1e6 / t_shard,
+    }

@@ -164,3 +164,16 @@ class TestRingKernelGen2:
     def test_small_distance_overlaps_ring2(self):
         data = (b"ab" * 900 + b"\x00" * 700 + b"cdcdcd" * 150)[:3600]
         assert _decode_ring2(_archive(data)) == data
+
+    def test_production_maint_tile_boundary(self):
+        # the production config fills TILE's refill budget exactly
+        # (TILE-128 == TB*MAINT+16 at MAINT=120/TILE=384); cover that
+        # boundary arithmetic on CPU with the production code path
+        # rather than hardware-only (VERDICT r3 item 8)
+        cfg = KernelConfig2(L=4, W=4096, W_IN=4096, NLIT=1, K=8,
+                            RING=512, TB=2, TILE=384, MAINT=120)
+        data = read_ref("foo.txt")[:6000]
+        plans, *_ = runtime.plan_xz(_archive(data))
+        out = runtime.execute_plan_vmem(_archive(data), plans,
+                                        config=cfg, interpret=True)
+        assert out == data
