@@ -214,6 +214,15 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
                 raise plan.pending_error
             if engine == "native":
                 out = rt.execute_plan_native(data, [plan], threads=threads)
+            elif engine in ("tpu", "tpu-vmem"):
+                # production device path (the XLA lane kernel is only
+                # reachable as explicit "tpu-lane", runtime round-4)
+                try:
+                    out = rt.execute_plan_vmem(data, [plan])
+                except rt.VmemIneligible:
+                    out = rt.execute_plan_native(
+                        data, [plan], threads=threads
+                    )
             else:
                 out = rt.execute_plan(data, [plan])
             local[off : off + s.out_len] = np.frombuffer(out, dtype=np.uint8)
