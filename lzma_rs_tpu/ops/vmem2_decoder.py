@@ -227,6 +227,15 @@ def decode_segments_vmem2(
     FSH = max(F.bit_length() - 1, 0)
     FS = F * S
     F_P = F if PROB_WORDS % F == 0 else 1  # prob-table fold (divisibility)
+    # HBM window mode (full-window path on hardware): the working halves
+    # already hold the whole window in VMEM, so the (W/4, S, M) win_init
+    # input and win output need not ALSO be VMEM-resident — GAPFREE
+    # plans have provably-zero win_init (gap-free lanes carry no
+    # prefill) and the outputs are the halves themselves, DMA'd to HBM
+    # in the epilogue. Frees 2*W*L bytes of VMEM: the stock-64KiB
+    # bucket runs L=512 instead of 256. Interpret mode keeps the plain
+    # VMEM layout (no DMA in the interpreter path).
+    HBM_WIN = (not interpret) and (not cfg.RING) and bool(cfg.GAPFREE)
     TILE_WORDS = TILE // 4
     ROW_WORDS = 32  # 128 bytes per input row
 
@@ -234,9 +243,19 @@ def decode_segments_vmem2(
 
     def kernel(
         in_ref, win_in_ref, is_ref, ie_ref, os_ref, oe_ref, meta_ref,
-        win_ref, err_ref, outp_ref, iters_ref,
-        st_ref, prob_ref, tile_ref, *extra_scratch,
+        *rest,
     ):
+        # HBM_WIN replaces the single VMEM window output with two HBM
+        # half outputs + a DMA semaphore pair at the end of scratch
+        if HBM_WIN:
+            (we_out, wo_out, err_ref, outp_ref, iters_ref,
+             st_ref, prob_ref, tile_ref, *extra_scratch) = rest
+            dma_sem = extra_scratch[-1]
+            extra_scratch = extra_scratch[:-1]
+            win_ref = None
+        else:
+            (win_ref, err_ref, outp_ref, iters_ref,
+             st_ref, prob_ref, tile_ref, *extra_scratch) = rest
         # Ring storage is PARITY-SPLIT: even words in ring_e, odd words
         # in ring_o, each RW_WORDS/2 rows. The port needs two adjacent
         # words (pw_idx, pw_idx+1) every step — one lives in each half,
@@ -260,6 +279,10 @@ def decode_segments_vmem2(
             win_ref[:] = win_in_ref[:]
             ring_e[:] = jnp.zeros((RWH, S, M), _I32)
             ring_o[:] = jnp.zeros((RWH, S, M), _I32)
+        elif HBM_WIN:
+            # gap-free lanes carry no prefill: the window starts zero
+            win_e[:] = jnp.zeros((WH, FS, M), _I32)
+            win_o[:] = jnp.zeros((WH, FS, M), _I32)
         else:
             win2 = win_in_ref[:].reshape(WIN_WORDS // 2, 2, S, M)
             win_e[:] = win2[:, 0].reshape(WH, FS, M)
@@ -1286,6 +1309,15 @@ def decode_segments_vmem2(
         flush_pending_window()
         if cfg.RING:
             ring_flush(st_ref[_OUTP_SLOT])  # final partial-period flush
+        elif HBM_WIN:
+            # stream the halves to HBM; the wrapper interleaves (one
+            # cheap XLA pass) to keep the external (W/4, L) contract
+            d0 = pltpu.make_async_copy(win_e, we_out, dma_sem.at[0])
+            d1 = pltpu.make_async_copy(win_o, wo_out, dma_sem.at[1])
+            d0.start()
+            d1.start()
+            d0.wait()
+            d1.wait()
         else:
             # interleave the parity halves back to stream order (leading-
             # dim reshapes are layout no-ops; the stack is one bulk copy)
@@ -1298,33 +1330,49 @@ def decode_segments_vmem2(
         outp_ref[:] = st_ref[_OUTP_SLOT][None]
         iters_ref[:] = (jnp.zeros((S, M), _I32) + final_it)[None]
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((WIN_WORDS, S, M), jnp.int32),
-        jax.ShapeDtypeStruct((1, S, M), jnp.int32),   # err
-        jax.ShapeDtypeStruct((1, S, M), jnp.int32),   # outp
-        jax.ShapeDtypeStruct((1, S, M), jnp.int32),   # iters
-    )
-    win, err, outp, iters = pl.pallas_call(
+    half_shape = (WIN_WORDS // 2 // F, FS, M)
+    small = jax.ShapeDtypeStruct((1, S, M), jnp.int32)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if HBM_WIN:
+        out_shapes = (
+            jax.ShapeDtypeStruct(half_shape, jnp.int32),
+            jax.ShapeDtypeStruct(half_shape, jnp.int32),
+            small, small, small,  # err, outp, iters
+        )
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            vspec, vspec, vspec,
+        )
+        win_in_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # unused
+        extra = [pltpu.VMEM(half_shape, jnp.int32)] * 2 + [
+            pltpu.SemaphoreType.DMA((2,))
+        ]
+    else:
+        out_shapes = (
+            jax.ShapeDtypeStruct((WIN_WORDS, S, M), jnp.int32),
+            small, small, small,
+        )
+        out_specs = (vspec,) * 4
+        win_in_spec = vspec
+        extra = (
+            [pltpu.VMEM((RW_WORDS // 2, S, M), jnp.int32)] * 2
+            if cfg.RING else
+            [pltpu.VMEM(half_shape, jnp.int32)] * 2
+        )
+    results = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
-        ),
+        in_specs=[vspec, win_in_spec] + [vspec] * 5,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((NSLOT, S, M), jnp.int32),      # lane state slots
             pltpu.VMEM((PROB_WORDS // F_P, F_P * S, M), jnp.int32),
             pltpu.VMEM((TILE_WORDS, S, M), jnp.int32),  # input lookahead
-        ] + (
-            # parity-split history ring (even words / odd words)
-            [pltpu.VMEM((RW_WORDS // 2, S, M), jnp.int32)] * 2
-            if cfg.RING else
-            # parity-split + sublane-folded working window halves
-            [pltpu.VMEM((WIN_WORDS // 2 // F, F * S, M), jnp.int32)] * 2
-        ),
+        ] + extra,
         interpret=interpret,
     )(
         inbuf.reshape(IN_WORDS, S, M),
@@ -1335,6 +1383,13 @@ def decode_segments_vmem2(
         out_end.reshape(K, S, M),
         chunk_meta.reshape(K, S, M),
     )
+    if HBM_WIN:
+        we_h, wo_h, err, outp, iters = results
+        e_un = we_h.reshape(WIN_WORDS // 2, S, M)
+        o_un = wo_h.reshape(WIN_WORDS // 2, S, M)
+        win = jnp.stack([e_un, o_un], axis=1).reshape(WIN_WORDS, S, M)
+    else:
+        win, err, outp, iters = results
     return (
         win.reshape(WIN_WORDS, L),
         err.reshape(1, L),

@@ -538,8 +538,11 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
         elif bucket <= 16384:
             L = 512
         else:
-            # 32-64 KiB windows: ~96 KB VMEM per lane (window + input +
-            # NLIT=8 tables); 256 lanes ~= 28 MB, well inside the budget
+            # 32-64 KiB windows: 256 lanes. Per-lane step cost scales
+            # with the lane-tile count, so larger L buys nothing for
+            # throughput (measured: L=512 doubles us/step exactly) and
+            # loses on partially-filled batches; the HBM window mode
+            # (ops/vmem2_decoder.py HBM_WIN) keeps VMEM headroom anyway.
             L = 256
     # Independent (usually smaller) input bucket: compressed payloads are
     # ~2-5x smaller than the window, and the staged-input H2D transfer
