@@ -1671,6 +1671,33 @@ struct LzmaEncoder {
     return price + price_len(layout.rep_len_coder, pos_state, len - 2);
   }
 
+  // rep price without the length part (the DP caches length prices per
+  // window, so the head and tail are priced separately there)
+  uint32_t price_rep_head(int st, int r, size_t pos_state) const {
+    uint32_t price =
+        price1(probs[layout.is_match + (size_t(st) << 4) + pos_state]) +
+        price1(probs[layout.is_rep + st]);
+    if (r == 0) {
+      price += price0(probs[layout.is_rep_g0 + st]) +
+               price1(probs[layout.is_rep_0long + (size_t(st) << 4) +
+                            pos_state]);
+    } else {
+      price += price1(probs[layout.is_rep_g0 + st]);
+      if (r == 1) {
+        price += price0(probs[layout.is_rep_g1 + st]);
+      } else {
+        price += price1(probs[layout.is_rep_g1 + st]) +
+                 price_bit(probs[layout.is_rep_g2 + st], r == 3);
+      }
+    }
+    return price;
+  }
+
+  uint32_t price_match_head(int st, size_t pos_state) const {
+    return price1(probs[layout.is_match + (size_t(st) << 4) + pos_state]) +
+           price0(probs[layout.is_rep + st]);
+  }
+
   uint32_t price_shortrep(size_t pos_state) const {
     return price_shortrep_st(state, pos_state);
   }
@@ -2101,6 +2128,49 @@ static void emit_step(const uint8_t* block, size_t pos, LzmaEncoder& enc,
                                               : enc.state - 6);
 }
 
+// Per-window price tables (liblzma precomputes the same; probabilities
+// are frozen during a DP window since emission happens only at trace-
+// back, so caching is exact). Length prices cover both len coders x
+// pos_state x all 272 values; distance prices cache every dist_field
+// < 128 fully and fall back to slot + direct + align tables beyond
+// (dist_field >= 128 implies slot >= 14: no spec_pos part).
+struct WinPrices {
+  uint32_t len_p[2][16][272];
+  uint32_t dist_lo[4][128];
+  uint32_t slot_p[4][64];
+  uint32_t align_p[16];
+
+  void build(const LzmaEncoder& enc) {
+    size_t nps = size_t(1) << enc.pb;
+    for (int rep = 0; rep < 2; rep++) {
+      size_t base =
+          rep ? enc.layout.rep_len_coder : enc.layout.len_coder;
+      for (size_t ps = 0; ps < nps; ps++)
+        for (uint32_t lv = 0; lv < 272; lv++)
+          len_p[rep][ps][lv] = enc.price_len(base, ps, lv);
+    }
+    for (int ls = 0; ls < 4; ls++) {
+      for (uint32_t slot = 0; slot < 64; slot++)
+        slot_p[ls][slot] =
+            enc.ptree(6, enc.layout.pos_slot + size_t(ls) * 64, slot);
+      for (uint32_t df = 0; df < 128; df++)
+        dist_lo[ls][df] = enc.price_dist(uint32_t(ls), df);
+    }
+    for (uint32_t a = 0; a < 16; a++)
+      align_p[a] = enc.prtree(4, enc.layout.align, a);
+  }
+
+  uint32_t dist(uint32_t lval, uint32_t df) const {
+    size_t ls = lval > 3 ? 3 : lval;
+    if (df < 128) return dist_lo[ls][df];
+    int nb = 32 - __builtin_clz(df);
+    uint32_t slot = uint32_t((nb - 1) * 2 + ((df >> (nb - 2)) & 1));
+    int nd = int(slot >> 1) - 1;
+    return slot_p[ls][slot] + kDirectBitPrice * uint32_t(nd - 4) +
+           align_p[df & 0xF];
+  }
+};
+
 // One DP window starting at `start`; emits the optimal step sequence and
 // returns the new position (> start).
 extern "C++" {
@@ -2129,6 +2199,8 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       }
     }
   }
+  static thread_local WinPrices wp;
+  wp.build(enc);
   const int n = int(std::min<size_t>(kOptWin, end - start));
   // Nodes extend past the window end by a full match length: a match
   // from node i < n may land anywhere in (n, n + kMaxMatchLen]; keeping
@@ -2207,17 +2279,21 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
               uint32_t(d), 0);
       if (l < 2) continue;
       uint32_t lmax = uint32_t(l);
+      const uint64_t rep_head = c + enc.price_rep_head(st, r, ps);
+      const uint32_t* lp_rep = wp.len_p[1][ps];
       for (uint32_t len = 2; len <= 12 && len <= lmax; len++)
-        relax(size_t(i) + len, c + enc.price_rep_st(st, r, len, ps), 2,
+        relax(size_t(i) + len, rep_head + lp_rep[len - 2], 2,
               uint16_t(len), uint32_t(d), r);
       if (lmax > 12)
-        relax(size_t(i) + lmax, c + enc.price_rep_st(st, r, lmax, ps), 2,
+        relax(size_t(i) + lmax, rep_head + lp_rep[lmax - 2], 2,
               uint16_t(lmax), uint32_t(d), r);
     }
 
     Cand cands[kMaxCands];
     int nc = mf.find_all(ap, max_dist, limit, cands);
     uint32_t prev_len = 1;
+    const uint64_t match_head = c + enc.price_match_head(st, ps);
+    const uint32_t* lp_m = wp.len_p[0][ps];
     for (int ci = 0; ci < nc; ci++) {
       uint32_t ml = cands[ci].len, md = cands[ci].dist;
       if (ml < 2) continue;
@@ -2226,10 +2302,12 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       uint32_t lo = prev_len + 1 < 2 ? 2 : prev_len + 1;
       uint32_t hi = std::min(ml, lo + 14);
       for (uint32_t len = lo; len <= hi; len++)
-        relax(size_t(i) + len, c + enc.price_match_st(st, ps, len, md - 1),
+        relax(size_t(i) + len,
+              match_head + lp_m[len - 2] + wp.dist(len - 2, md - 1),
               3, uint16_t(len), md, -1);
       if (ml > hi)
-        relax(size_t(i) + ml, c + enc.price_match_st(st, ps, ml, md - 1),
+        relax(size_t(i) + ml,
+              match_head + lp_m[ml - 2] + wp.dist(ml - 2, md - 1),
               3, uint16_t(ml), md, -1);
       prev_len = ml;
     }

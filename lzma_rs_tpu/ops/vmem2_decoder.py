@@ -478,6 +478,20 @@ def decode_segments_vmem2(
             node = node0
             litm0 = node0 == N_LITM
             bit0 = jnp.zeros_like(node0)
+            # literal <-> is_match chaining (TB=2): a plain literal's
+            # first tree bit rides j=1 of its is_match=0 step (A), and
+            # the NEXT symbol's is_match bit rides j=1 of the step whose
+            # j=0 bit completed a literal (B) — both successor entries
+            # are pure functions of pre-step state, so the pair prefetch
+            # covers them. A run of literals then costs 4.5 steps each
+            # instead of 5 (is_match amortized into the tree steps).
+            lit_state0 = ((outp & ((1 << lp) - 1)) << lc) + (
+                prevb >> (8 - lc)
+            )
+            ca_mask = jnp.zeros_like(node0) == 1  # A fired this step
+            cb_sel = ca_mask                      # B prefetch selected
+            cb_mask = ca_mask                     # B bit consumed at j1
+            bitB = bit0
             # the step consumes at most TB input bytes, at inp and inp+1:
             # fetch both with one tile traversal instead of one per bit
             inp_step0 = inp
@@ -494,11 +508,13 @@ def decode_segments_vmem2(
                     is_prob_act = (node <= N_ALIGN) & ~is_direct_j
                     active_j = is_prob_act | is_direct_act
                 else:
+                    cb_live = cb_sel & (acc >= 0x100)
                     cont = (
                         ((node == N_LIT) & ~litm0 & (acc < 0x100))
                         | (((node == N_LEN_TREE) | (node == N_POSSLOT)
                             | (node == N_ALIGN) | is_direct_j)
                            & (cnt > 0))
+                        | cb_live
                     )
                     active_j = cont & (node != N_ERROR)
                     is_direct_act = is_direct_j & active_j
@@ -561,8 +577,34 @@ def decode_segments_vmem2(
                         pair_lit = jnp.clip(
                             lit_ctx * LIT_ROW + acc2, 0, LIT_W - 2
                         )
+                        # chain A: is_match (state<7) may start a plain
+                        # literal at j=1 — its first tree entry is
+                        # row + 1. chain B: a literal whose 8th bit
+                        # lands at j=0 (acc >= 0x80) chains the next
+                        # symbol's is_match bit; that entry is a pure
+                        # function of after_lit(state) and outp+1.
+                        ca_cand = (node == N_ISMATCH) & (state < 7)
+                        pair_start = jnp.clip(
+                            lit_state0 * LIT_ROW + 1, 0, LIT_W - 1
+                        )
+                        cb_sel = (
+                            is_lit_j & (acc >= 0x80)
+                            & (outp + 1 < outend)
+                        )
+                        ismatch_next = jnp.clip(
+                            H_IS_MATCH + _after_lit(state) * NPS
+                            + ((outp + 1) & ((1 << pb) - 1)),
+                            0, H_TOTAL - 1,
+                        )
                         pair_idx = jnp.where(
-                            node == N_LIT, HOT_W + pair_lit, pair_hot
+                            cb_sel, ismatch_next,
+                            jnp.where(
+                                node == N_LIT, HOT_W + pair_lit,
+                                jnp.where(
+                                    ca_cand, HOT_W + pair_start,
+                                    pair_hot,
+                                ),
+                            ),
                         )
                         pair_word = pair_idx >> 1
                         pword = fold_read(
@@ -575,8 +617,8 @@ def decode_segments_vmem2(
                         # j == 1: no table traversal — the prefetched
                         # pair word holds both candidates; bit1's own
                         # update may share the word (register fix-up)
-                        pidx = pair_idx + bit0
-                        pword_idx = pair_word
+                        pidx = pair_idx + jnp.where(cb_sel, 0, bit0)
+                        pword_idx = pidx >> 1
                         phalf = pidx & 1
                         pword = jnp.where(pword_idx == pw0i, pw0w, uw)
                 else:
@@ -654,6 +696,12 @@ def decode_segments_vmem2(
                 m_lit = okj & is_lit_j
                 m_litm = okj & (node == N_LITM)
                 m_cnt = okj & is_cnt_j
+                if cfg.TB == 2 and j == 1:
+                    # B lanes consumed the next symbol's is_match bit at
+                    # j=1: their acc holds the finished literal (feeds
+                    # lit_emit below) and must not shift further
+                    m_lit = m_lit & ~cb_sel
+                    m_litm = m_litm & ~cb_sel
                 m_rev = okj & ((node == N_SPECPOS) | (node == N_ALIGN))
                 acc = jnp.where(m_lit | m_cnt, (acc << 1) | bit, acc)
                 rev = jnp.where(m_rev, rev | (bit * mbyte), rev)
@@ -667,6 +715,20 @@ def decode_segments_vmem2(
                 node = jnp.where(drop, N_LIT, node)
                 if j == 0:
                     bit0 = bit
+                    if cfg.TB == 2 and "probread" not in _ABLATE:
+                        # chain A fires: the literal starts NOW; j=1
+                        # decodes its first tree bit from the prefetched
+                        # pair word
+                        ca_mask = (
+                            okj & (node == N_ISMATCH) & (bit == 0)
+                            & (state < 7)
+                        )
+                        node = jnp.where(ca_mask, N_LIT, node)
+                        acc = jnp.where(ca_mask, 1, acc)
+                        lit_ctx = jnp.where(ca_mask, lit_state0, lit_ctx)
+                elif cfg.TB == 2:
+                    cb_mask = okj & cb_sel
+                    bitB = bit
 
             bit = bit0  # control handlers consume the first bit
             ok = node != N_ERROR
@@ -684,9 +746,7 @@ def decode_segments_vmem2(
             # --- N_ISMATCH ----------------------------------------------
             m = ok & (node0 == N_ISMATCH)
             m0 = m & (bit == 0)
-            lit_state = ((outp & ((1 << lp) - 1)) << lc) + (
-                prevb >> (8 - lc)
-            )
+            lit_state = lit_state0  # outp/prevb unchanged since the loop
             matched = m0 & (state >= 7)
             bad_md = matched & (rep0 + 1 > outp)
             err = jnp.where(bad_md & (err == ERR_NONE), ERR_MATCHDIST, err)
@@ -699,7 +759,9 @@ def decode_segments_vmem2(
                 matched = matched & ~far_ml
                 bad_md = bad_md | far_ml
             start_lit = m0 & ~bad_md
-            acc = jnp.where(start_lit, 1, acc)
+            # chain-A lanes already started (acc holds 1..3 tree bits
+            # from j=1); the handler only re-states node/lit_ctx for them
+            acc = jnp.where(start_lit & ~ca_mask, 1, acc)
             node = jnp.where(
                 start_lit, jnp.where(state >= 7, N_LITM, N_LIT), node
             )
@@ -889,6 +951,23 @@ def decode_segments_vmem2(
             node, err = end_symbol(
                 done_lit | copy_done, node, err, outp + nadv
             )
+            if cfg.TB == 2:
+                # chain B: the next symbol's is_match bit was consumed at
+                # j=1 (cb_mask); override end_symbol's N_ISMATCH with the
+                # decided successor. bit==0 starts the next PLAIN literal
+                # (after_lit(state) < 7 always) with its context built
+                # from the byte just emitted.
+                cbm = cb_mask & done_lit
+                lit_ctx_b = (
+                    ((outp + 1) & ((1 << lp) - 1)) << lc
+                ) + (lit_emit >> (8 - lc))
+                to_lit = cbm & (bitB == 0)
+                to_rep = cbm & (bitB == 1)
+                node = jnp.where(
+                    to_lit, N_LIT, jnp.where(to_rep, N_ISREP, node)
+                )
+                acc = jnp.where(to_lit, 1, acc)
+                lit_ctx = jnp.where(to_lit, lit_ctx_b, lit_ctx)
             outp_w = outp  # emit position, before Stage E retargets outp
 
             # -------- Stage E: chunk setup ---------------------------------
