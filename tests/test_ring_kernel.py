@@ -177,3 +177,23 @@ class TestRingKernelGen2:
         out = runtime.execute_plan_vmem(_archive(data), plans,
                                         config=cfg, interpret=True)
         assert out == data
+
+    def test_gapfree_fullwindow_stock_geometry(self):
+        # the stock-64KiB production shape class on CPU: full window
+        # (no ring), GAPFREE register-resident output word, sublane
+        # fold F=4 (L=256 -> S=2, M=128), lc=3 literal tables
+        import lzma as liblzma
+
+        cfg = KernelConfig2(L=256, W=4096, W_IN=4096, NLIT=8, K=8,
+                            RING=0, GAPFREE=1, TB=2, TILE=384, MAINT=120)
+        # small payload: interpret cost scales with L (256 padded lanes)
+        data = read_ref("foo.txt")[:1400]
+        stream = liblzma.compress(
+            data, format=liblzma.FORMAT_RAW,
+            filters=[{"id": liblzma.FILTER_LZMA2, "preset": 6}],
+        )
+        plan, _ = runtime.plan_lzma2_stream(stream, 0, 0)
+        assert runtime._plans_gap_free([plan])
+        out = runtime.execute_plan_vmem(stream, [plan], config=cfg,
+                                        interpret=True)
+        assert out == data
