@@ -2192,7 +2192,11 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       if (limit > kMaxMatchLen) limit = kMaxMatchLen;
       const uint8_t* q = block + start - d0;
       size_t l = extend_match(q, block + start, 0, limit);
-      if (l >= kOptWin || (l >= 2 && l == end - start)) {
+      // l is capped at kMaxMatchLen (273) < kOptWin (512), so the
+      // "covers the window" test is against the match-length cap: a
+      // max-length rep0 run has no cheaper parse and run-heavy data
+      // must encode at greedy speed, window after window
+      if (l >= kMaxMatchLen || (l >= 2 && l == end - start)) {
         emit_step(block, start, enc, 2, uint32_t(l), uint32_t(d0));
         for (size_t p = start; p < start + l; p++) mf.insert(p);
         return start + l;

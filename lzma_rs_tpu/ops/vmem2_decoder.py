@@ -223,7 +223,7 @@ def decode_segments_vmem2(
     # stock-64KiB geometry (L=256 -> S=2, M=128) folds at F=4 and is
     # exercised in interpret mode by tests/test_vmem2_kernel.py's
     # L=256 case.
-    F = max(1, 8 // S) if M == 128 else 1
+    F = max(1, 8 // S) if (M == 128 and S >= 2) else 1
     FSH = max(F.bit_length() - 1, 0)
     FS = F * S
     F_P = F if PROB_WORDS % F == 0 else 1  # prob-table fold (divisibility)

@@ -164,10 +164,11 @@ def sharding_overhead(archive: bytes, cfg=None, chain: int = 8) -> dict:
     # tail rows beyond every lane's in_end are never read) defeats the
     # tunnel's same-input result cache, and fetching the small err
     # output forces completion (block_until_ready does not reliably
-    # block on the axon platform). Median of `chain` reps per path.
+    # block on the axon platform). Median of ``chain`` reps per path.
     t_p, t_s = [], []
+    last_err = None
     salt = 0
-    for _ in range(max(3, chain // 2)):
+    for _ in range(chain):
         for times, call in (
             (t_s, lambda *a: sharded(*a)),
             (t_p, lambda *a: plain(*a, config=cfg, max_iters=max_iters,
@@ -177,8 +178,15 @@ def sharding_overhead(archive: bytes, cfg=None, chain: int = 8) -> dict:
             inb = dev_args[0].at[-1, :].add(salt)
             t0 = time.perf_counter()
             outs = call(inb, *dev_args[1:])
-            _np.asarray(outs[1])
+            last_err = _np.asarray(outs[1])
             times.append(time.perf_counter() - t0)
+    # the salt word (inbuf bytes W_IN-4..W_IN) is real input only if a
+    # lane's packed size fills the whole bucket; the err check catches
+    # that loudly instead of silently timing error-path executions
+    assert last_err is not None and not last_err.any(), (
+        "sharding_overhead: lanes errored (salt word may overlap a "
+        f"bucket-filling lane): {last_err[0][:8]}"
+    )
     t_plain = sorted(t_p)[len(t_p) // 2]
     t_shard = sorted(t_s)[len(t_s) // 2]
     return {

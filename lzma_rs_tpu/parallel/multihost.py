@@ -216,10 +216,14 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
                 out = rt.execute_plan_native(data, [plan], threads=threads)
             elif engine in ("tpu", "tpu-vmem"):
                 # production device path (the XLA lane kernel is only
-                # reachable as explicit "tpu-lane", runtime round-4)
+                # reachable as explicit "tpu-lane", runtime round-4).
+                # Any device failure — ineligibility OR a kernel error
+                # on corrupt data — falls back to the native engine so
+                # errors keep reference parity like the single-host
+                # paths.
                 try:
                     out = rt.execute_plan_vmem(data, [plan])
-                except rt.VmemIneligible:
+                except Exception:
                     out = rt.execute_plan_native(
                         data, [plan], threads=threads
                     )

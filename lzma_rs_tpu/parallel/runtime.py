@@ -1076,6 +1076,13 @@ def _estimate_engine_seconds(
     modeled un-sharded (single host link, the conservative case)."""
     cal = _auto_calibration()
     lanes = [lane for p in plans for lane in p.lanes]
+    # batch like the executor does: biggest segments first, so modeled
+    # per-batch maxima match the real (balanced) launches
+    lanes = sorted(
+        lanes,
+        key=lambda l: sum(e - s for s, e in zip(l.in_start, l.in_end)),
+        reverse=True,
+    )
     total_out = sum(p.total_out for p in plans)
     port_rows = (cfg.RING if cfg.RING else cfg.W) / 4
     us_per_step = cal["step_a"] + cal["step_b"] * port_rows
@@ -1186,8 +1193,11 @@ def lzma2_decode(data: bytes, engine: str = "tpu") -> bytes:
         except VmemIneligible as e:
             _record_fallback(f"vmem-ineligible: {e.reason}")
             # valid-but-ineligible archives deserve the parallel host
-            # engine, not the sequential replay (which is for errors)
-            return lzma2_decode(data, engine="native")
+            # engine (reuse the plan already built; no re-scan)
+            try:
+                return execute_plan_native(data, [plan])
+            except Exception:
+                return _host_lzma2(data)
         except _KernelError as e:
             _record_fallback(f"host replay: lane error code {e.code}")
             return _host_lzma2(data)
@@ -1414,8 +1424,16 @@ def _xz_decode_parallel(data: bytes, engine: str) -> bytes:
             except VmemIneligible as e:
                 _record_fallback(f"vmem-ineligible: {e.reason}")
                 # valid-but-ineligible archives deserve the parallel
-                # host engine, not the sequential error-replay path
-                return xz_decode(data, engine="native")
+                # host engine — reuse the plans already built (no
+                # container re-scan) via the same native block path
+                try:
+                    out = _execute_native_blockwise(
+                        data, plans, block_spans, header_flags
+                    )
+                except Exception:
+                    return _sequential_xz_replay(data)
+                xz_fmt.check_footer(cursor, header_flags, index_size)
+                return out
             except _KernelError as e:
                 _record_fallback(f"host replay: lane error code {e.code}")
                 return _sequential_xz_replay(data)

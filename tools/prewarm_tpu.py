@@ -36,10 +36,18 @@ def main():
     seed = open("/root/reference/tests/files/foo.txt", "rb").read()
     data = (seed * 200)[: 32 << 20]
 
-    # 1. tpu_profile flagship shape (needs >= L lanes to fill a batch)
+    # 1. tpu_profile flagship shapes: both the pipelined sub-batch
+    # variant (the e2e default splits single-launch workloads into
+    # smaller-L launches) and the plain full-L bucket (PIPE=0, used by
+    # devbench / explicit overrides) need warm caches.
     d1 = data[: 17 << 20]
-    warm("tpu_profile L=2048 W=8192",
-         lzma_rs_tpu.xz_compress(d1, tpu_profile=True, check_method=1), d1)
+    a1 = lzma_rs_tpu.xz_compress(d1, tpu_profile=True, check_method=1)
+    warm("tpu_profile pipelined (sub-batch L)", a1, d1)
+    os.environ["LZMA_RS_TPU_PIPE"] = "0"
+    try:
+        warm("tpu_profile L=2048 W=8192 (plain)", a1, d1)
+    finally:
+        del os.environ["LZMA_RS_TPU_PIPE"]
 
     # 2. stock 64 KiB blocks (lc=3 tables, full VMEM window)
     d2 = data[: 17 << 20]
