@@ -2188,15 +2188,17 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
     if (dist_cap && max_dist > dist_cap) max_dist = dist_cap;
     size_t d0 = size_t(enc.rep[0]) + 1;
     if (d0 <= max_dist) {
-      size_t limit = end - start;
-      if (limit > kMaxMatchLen) limit = kMaxMatchLen;
+      // probe the run beyond the match-length cap: the shortcut is for
+      // runs covering the WHOLE window (no cheaper parse exists and
+      // run-heavy data must encode at greedy speed); a mere max-length
+      // match still goes through the DP, which can parse it better
+      // (the round-4 kOptWin bump made the old l-capped test dead).
+      size_t probe = end - start;
+      if (probe > kOptWin) probe = kOptWin;
       const uint8_t* q = block + start - d0;
-      size_t l = extend_match(q, block + start, 0, limit);
-      // l is capped at kMaxMatchLen (273) < kOptWin (512), so the
-      // "covers the window" test is against the match-length cap: a
-      // max-length rep0 run has no cheaper parse and run-heavy data
-      // must encode at greedy speed, window after window
-      if (l >= kMaxMatchLen || (l >= 2 && l == end - start)) {
+      size_t l_run = extend_match(q, block + start, 0, probe);
+      if (l_run >= kMaxMatchLen || (l_run >= 2 && l_run == end - start)) {
+        size_t l = l_run > kMaxMatchLen ? kMaxMatchLen : l_run;
         emit_step(block, start, enc, 2, uint32_t(l), uint32_t(d0));
         for (size_t p = start; p < start + l; p++) mf.insert(p);
         return start + l;
