@@ -453,6 +453,7 @@ def decode_segments_vmem2(
             lp = (meta0 >> 14) & 7
             pb = (meta0 >> 17) & 7
             chunk_i = (meta0 >> 20) & 63
+            imq = (meta0 >> 26) & 1  # is_match pre-consumed (copy chain)
 
             pos_state = outp & ((1 << pb) - 1)
             st4 = state * NPS + pos_state
@@ -492,6 +493,33 @@ def decode_segments_vmem2(
             cb_sel = ca_mask                      # B prefetch selected
             cb_mask = ca_mask                     # B bit consumed at j1
             bitB = bit0
+            # chain C: copy lanes consume no bits, so the step whose
+            # copy COMPLETES decodes the next symbol's is_match at j=0
+            # (its entry depends only on state and the post-copy
+            # position, both known pre-step). bit==1 proceeds straight
+            # to N_ISREP; bit==0 sets the imq flag — the next step's
+            # port serves the matched byte exactly like a normal
+            # is_match step, minus the already-consumed bit.
+            if cfg.TB == 2:
+                kc_pre = jnp.clip(
+                    jnp.minimum(
+                        jnp.minimum(4 - (outp & 3), length),
+                        outend - outp,
+                    ), 1, 4,
+                )
+                copy_fin = (
+                    (node0 == N_COPY) & (length > 0)
+                    & (length <= kc_pre) & (outp < outend)
+                    & (outp + kc_pre < outend) & (imq == 0)
+                )
+                ismatch_c = jnp.clip(
+                    H_IS_MATCH + state * NPS
+                    + ((outp + kc_pre) & ((1 << pb) - 1)),
+                    0, H_TOTAL - 1,
+                )
+            else:
+                copy_fin = ca_mask
+            imq_pend = (node0 == N_ISMATCH) & (imq == 1)
             # the step consumes at most TB input bytes, at inp and inp+1:
             # fetch both with one tile traversal instead of one per bit
             inp_step0 = inp
@@ -506,6 +534,10 @@ def decode_segments_vmem2(
                 if j == 0:
                     is_direct_act = is_direct_j
                     is_prob_act = (node <= N_ALIGN) & ~is_direct_j
+                    if cfg.TB == 2:
+                        is_prob_act = (
+                            is_prob_act & ~imq_pend
+                        ) | copy_fin
                     active_j = is_prob_act | is_direct_act
                 else:
                     cb_live = cb_sel & (acc >= 0x100)
@@ -537,6 +569,8 @@ def decode_segments_vmem2(
                     ):
                         hot_idx = jnp.where(cond_, val, hot_idx)
                 hot_idx = jnp.clip(hot_idx, 0, H_TOTAL - 1)
+                if cfg.TB == 2 and j == 0:
+                    hot_idx = jnp.where(copy_fin, ismatch_c, hot_idx)
                 lit_idx = jnp.where(
                     node == N_LITM, ((1 + match_bit_j) << 8) + acc, acc
                 )
@@ -745,7 +779,10 @@ def decode_segments_vmem2(
 
             # --- N_ISMATCH ----------------------------------------------
             m = ok & (node0 == N_ISMATCH)
-            m0 = m & (bit == 0)
+            # imq: the bit was consumed by the copy's final step — this
+            # step only performs the bit==0 aftermath (the port below
+            # serves the matched byte, as for any is_match step)
+            m0 = m & ((bit == 0) | (imq == 1))
             lit_state = lit_state0  # outp/prevb unchanged since the loop
             matched = m0 & (state >= 7)
             bad_md = matched & (rep0 + 1 > outp)
@@ -765,7 +802,8 @@ def decode_segments_vmem2(
             node = jnp.where(
                 start_lit, jnp.where(state >= 7, N_LITM, N_LIT), node
             )
-            node = jnp.where(m & (bit == 1), N_ISREP, node)
+            node = jnp.where(m & (bit == 1) & (imq == 0), N_ISREP, node)
+            imq = jnp.where(m, 0, imq)  # flag consumed
 
             lit_ctx = jnp.where(start_lit, lit_state, lit_ctx)
 
@@ -952,6 +990,14 @@ def decode_segments_vmem2(
                 done_lit | copy_done, node, err, outp + nadv
             )
             if cfg.TB == 2:
+                # chain C: the copy completed and its j=0 bit was the
+                # next symbol's is_match. bit==1 proceeds to N_ISREP now;
+                # bit==0 keeps node=N_ISMATCH with the imq flag (next
+                # step reads the matched byte through the port and
+                # starts the literal without re-decoding the bit).
+                cfm = copy_fin & copy_done & ok
+                node = jnp.where(cfm & (bit0 == 1), N_ISREP, node)
+                imq = jnp.where(cfm & (bit0 == 0), 1, imq)
                 # chain B: the next symbol's is_match bit was consumed at
                 # j=1 (cb_mask); override end_symbol's N_ISMATCH with the
                 # decided successor. bit==0 starts the next PLAIN literal
@@ -1235,7 +1281,7 @@ def decode_segments_vmem2(
 
             meta = (err | (pending << 4) | (len_rep << 6)
                     | (lit_ctx << 7) | (lc << 10) | (lp << 14)
-                    | (pb << 17) | (chunk_i << 20))
+                    | (pb << 17) | (chunk_i << 20) | (imq << 26))
             return (node, meta, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
                     dist, mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
