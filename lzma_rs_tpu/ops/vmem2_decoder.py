@@ -520,6 +520,9 @@ def decode_segments_vmem2(
             else:
                 copy_fin = ca_mask
             imq_pend = (node0 == N_ISMATCH) & (imq == 1)
+            d_sel = ca_mask   # chain-D prefetch selected (set at j=0)
+            d_mask = ca_mask  # chain-D is_rep bit consumed at j1
+            bitD = bit0
             # the step consumes at most TB input bytes, at inp and inp+1:
             # fetch both with one tile traversal instead of one per bit
             inp_step0 = inp
@@ -541,12 +544,13 @@ def decode_segments_vmem2(
                     active_j = is_prob_act | is_direct_act
                 else:
                     cb_live = cb_sel & (acc >= 0x100)
+                    d_live = d_sel & (bit0 == 1)
                     cont = (
                         ((node == N_LIT) & ~litm0 & (acc < 0x100))
                         | (((node == N_LEN_TREE) | (node == N_POSSLOT)
                             | (node == N_ALIGN) | is_direct_j)
                            & (cnt > 0))
-                        | cb_live
+                        | cb_live | d_live
                     )
                     active_j = cont & (node != N_ERROR)
                     is_direct_act = is_direct_j & active_j
@@ -618,6 +622,12 @@ def decode_segments_vmem2(
                         # symbol's is_match bit; that entry is a pure
                         # function of after_lit(state) and outp+1.
                         ca_cand = (node == N_ISMATCH) & (state < 7)
+                        # chain D: the copy-completion step decodes
+                        # is_match at j=0 (chain C); when that bit is 1
+                        # the successor is is_rep, whose entry depends
+                        # only on state — decode it at j=1 of the SAME
+                        # step (two chained control bits per copy end).
+                        d_sel = copy_fin
                         pair_start = jnp.clip(
                             lit_state0 * LIT_ROW + 1, 0, LIT_W - 1
                         )
@@ -636,7 +646,10 @@ def decode_segments_vmem2(
                                 node == N_LIT, HOT_W + pair_lit,
                                 jnp.where(
                                     ca_cand, HOT_W + pair_start,
-                                    pair_hot,
+                                    jnp.where(
+                                        copy_fin, H_IS_REP + state,
+                                        pair_hot,
+                                    ),
                                 ),
                             ),
                         )
@@ -651,7 +664,7 @@ def decode_segments_vmem2(
                         # j == 1: no table traversal — the prefetched
                         # pair word holds both candidates; bit1's own
                         # update may share the word (register fix-up)
-                        pidx = pair_idx + jnp.where(cb_sel, 0, bit0)
+                        pidx = pair_idx + jnp.where(cb_sel | d_sel, 0, bit0)
                         pword_idx = pidx >> 1
                         phalf = pidx & 1
                         pword = jnp.where(pword_idx == pw0i, pw0w, uw)
@@ -763,6 +776,8 @@ def decode_segments_vmem2(
                 elif cfg.TB == 2:
                     cb_mask = okj & cb_sel
                     bitB = bit
+                    d_mask = okj & d_live
+                    bitD = bit
 
             bit = bit0  # control handlers consume the first bit
             ok = node != N_ERROR
@@ -998,6 +1013,17 @@ def decode_segments_vmem2(
                 cfm = copy_fin & copy_done & ok
                 node = jnp.where(cfm & (bit0 == 1), N_ISREP, node)
                 imq = jnp.where(cfm & (bit0 == 0), 1, imq)
+                # chain D aftermath: the is_rep bit rode j=1 of this
+                # same copy step; apply N_ISREP's transitions now
+                # (overriding the N_ISREP node chain C just set)
+                dm = d_mask & cfm
+                d0m = dm & (bitD == 0)
+                rep3 = jnp.where(d0m, rep2, rep3)
+                rep2 = jnp.where(d0m, rep1, rep2)
+                rep1 = jnp.where(d0m, rep0, rep1)
+                len_rep = jnp.where(d0m, 0, len_rep)
+                node = jnp.where(d0m, N_LEN_CHOICE, node)
+                node = jnp.where(dm & (bitD == 1), N_ISREPG0, node)
                 # chain B: the next symbol's is_match bit was consumed at
                 # j=1 (cb_mask); override end_symbol's N_ISMATCH with the
                 # decided successor. bit==0 starts the next PLAIN literal
