@@ -227,15 +227,17 @@ def decode_segments_vmem2(
     FSH = max(F.bit_length() - 1, 0)
     FS = F * S
     F_P = F if PROB_WORDS % F == 0 else 1  # prob-table fold (divisibility)
-    # HBM window mode (full-window path on hardware): the working halves
-    # already hold the whole window in VMEM, so the (W/4, S, M) win_init
-    # input and win output need not ALSO be VMEM-resident — GAPFREE
-    # plans have provably-zero win_init (gap-free lanes carry no
-    # prefill) and the outputs are the halves themselves, DMA'd to HBM
-    # in the epilogue. Frees 2*W*L bytes of VMEM: the stock-64KiB
-    # bucket runs L=512 instead of 256. Interpret mode keeps the plain
-    # VMEM layout (no DMA in the interpreter path).
-    HBM_WIN = (not interpret) and (not cfg.RING) and bool(cfg.GAPFREE)
+    # HBM window mode (full-window path): the working halves already
+    # hold the whole window in VMEM, so the (W/4, S, M) win_init input
+    # and win output need not ALSO be VMEM-resident — GAPFREE plans have
+    # provably-zero win_init (gap-free lanes carry no prefill) and the
+    # outputs are the halves themselves, DMA'd to HBM in the epilogue.
+    # Frees 2*W*L bytes of VMEM; the stock-64KiB bucket keeps L=256
+    # (larger L buys nothing — per-lane step cost scales with the
+    # lane-tile count, choose_vmem_config) and uses the freed VMEM as
+    # headroom. Interpret mode takes the same path (the interpreter
+    # emulates the DMA epilogue) so CPU tests cover it.
+    HBM_WIN = (not cfg.RING) and bool(cfg.GAPFREE)
     TILE_WORDS = TILE // 4
     ROW_WORDS = 32  # 128 bytes per input row
 
@@ -1511,6 +1513,12 @@ def decode_segments_vmem2(
             if cfg.RING else
             [pltpu.VMEM(half_shape, jnp.int32)] * 2
         )
+    if HBM_WIN:
+        # the kernel never reads win_init (gap-free => zero prefill):
+        # accept a tiny dummy so callers skip materializing W*L zeros
+        win_in_arr = win_init.reshape(-1, S, M)
+    else:
+        win_in_arr = win_init.reshape(WIN_WORDS, S, M)
     results = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -1527,7 +1535,7 @@ def decode_segments_vmem2(
         interpret=interpret,
     )(
         inbuf.reshape(IN_WORDS, S, M),
-        win_init.reshape(WIN_WORDS, S, M),
+        win_in_arr,
         in_start.reshape(K, S, M),
         in_end.reshape(K, S, M),
         out_start.reshape(K, S, M),

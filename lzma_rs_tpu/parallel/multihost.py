@@ -212,9 +212,15 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
             plan, _ = rt.plan_lzma2_stream(data, s.payload_start, 0)
             if plan.pending_error is not None:  # scan_blocks screened it
                 raise plan.pending_error
-            if engine == "native":
+            eng = engine
+            if eng == "auto":
+                # same throughput-model routing as the single-host
+                # paths; deterministic per plan, so identical on every
+                # host (the collective schedule never depends on it)
+                eng = rt._resolve_auto_engine([plan])
+            if eng == "native":
                 out = rt.execute_plan_native(data, [plan], threads=threads)
-            elif engine in ("tpu", "tpu-vmem"):
+            elif eng in ("tpu", "tpu-vmem"):
                 # production device path (the XLA lane kernel is only
                 # reachable as explicit "tpu-lane", runtime round-4).
                 # Any device failure — ineligibility OR a kernel error
@@ -227,8 +233,15 @@ def xz_decode_multihost(data: bytes, engine: str = "native") -> bytes:
                     out = rt.execute_plan_native(
                         data, [plan], threads=threads
                     )
-            else:
+            elif eng == "tpu-lane":
+                # the ~0.3 MB/s XLA lane kernel: explicit opt-in only,
+                # same rule as the single-host router (runtime round-4)
                 out = rt.execute_plan(data, [plan])
+            else:
+                raise ValueError(
+                    f"unknown engine {eng!r} (expected auto, native, "
+                    "tpu, tpu-vmem, or tpu-lane)"
+                )
             local[off : off + s.out_len] = np.frombuffer(out, dtype=np.uint8)
             off += s.out_len
         return local

@@ -750,6 +750,7 @@ def execute_plan_vmem(
     :class:`VmemIneligible` otherwise (callers fall back to the XLA lane
     kernel or the host engine). Ring-window configs retry once on the
     full-window kernel if a match distance exceeds the ring."""
+    user_config = config is not None
     if config is None:
         try:
             config = choose_vmem_config(plans)
@@ -760,14 +761,17 @@ def execute_plan_vmem(
             # engine, not crash the decode
             raise VmemIneligible(f"kernel config rejected: {e}") from None
     try:
-        return _execute_plan_vmem(data, plans, config, interpret)
+        return _execute_plan_vmem(
+            data, plans, config, interpret, user_config=user_config
+        )
     except _RingMiss:
         _record_fallback(
             f"ring miss: match distance beyond RING={config.RING}; "
             "retrying on the full-window kernel"
         )
         return _execute_plan_vmem(
-            data, plans, dataclasses.replace(config, RING=0), interpret
+            data, plans, dataclasses.replace(config, RING=0), interpret,
+            user_config=user_config,
         )
 
 
@@ -776,6 +780,7 @@ def _execute_plan_vmem(
     plans: List[DecodePlan],
     config,
     interpret: Optional[bool] = None,
+    user_config: bool = False,
 ) -> bytes:
     import jax
     import jax.numpy as jnp
@@ -827,11 +832,15 @@ def _execute_plan_vmem(
     # splits into >= 4 smaller-L launches so H2D(n+1) overlaps kernel(n)
     # and D2H(n-1) (jax dispatch is async; per-lane kernel cost is
     # L-invariant — pass cost scales with the lane-tile count). Only on
-    # real hardware, single-device, and when the user did not pin L.
+    # real hardware, single-device, and when neither an explicit caller
+    # config nor the L env override pinned the kernel shape (a pinned
+    # shape means the caller wants THAT graph, not a resized one with a
+    # fresh multi-minute compile).
     import os as _os
 
     if (
         not interpret
+        and not user_config
         and len(lanes) >= 512
         and -(-len(lanes) // cfg.L) < 4
         and not _os.environ.get("LZMA_RS_TPU_VMEM_L")
@@ -946,6 +955,10 @@ def _execute_plan_vmem(
                 win_dev = jnp.asarray(
                     np.ascontiguousarray(win_init).view("<i4").T
                 )
+            elif getattr(cfg, "GAPFREE", 0) and not cfg.RING:
+                # HBM_WIN kernels (full-window GAPFREE) never read
+                # win_init — a 1-row dummy skips allocating W*L zeros
+                win_dev = jnp.zeros((1, L), jnp.int32)
             else:
                 # no prefilled (stored-chunk) bytes in this batch: build
                 # the zero window ON DEVICE — skips a W*L-byte H2D

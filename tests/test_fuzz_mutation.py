@@ -353,12 +353,22 @@ class _ArcTracker:
     sys.monitoring (PEP 669): ~2-3x tracing overhead, cheap enough for
     the nightly budget."""
 
-    TOOL = _sys.monitoring.COVERAGE_ID
-
     def __init__(self):
         self.current = set()
         mon = _sys.monitoring
-        mon.use_tool_id(self.TOOL, "lzma_rs_tpu-fuzz-cov")
+        # COVERAGE_ID may already be claimed (tools/coverage_report.py
+        # runs the suite under its own LINE tracer): fall back to any
+        # free tool id so coverage and the fuzz tier compose.
+        self.TOOL = None
+        for tid in (mon.COVERAGE_ID, 3, 4, 5):
+            try:
+                mon.use_tool_id(tid, "lzma_rs_tpu-fuzz-cov")
+                self.TOOL = tid
+                break
+            except ValueError:
+                continue
+        if self.TOOL is None:
+            raise RuntimeError("no free sys.monitoring tool id")
         mon.register_callback(
             self.TOOL, mon.events.LINE, self._on_line
         )
