@@ -120,6 +120,24 @@ def bench_tpu(expected: bytes) -> dict:
     dev = devbench.device_throughput(cx, verify=data)
     log(f"tpu device-resident (chained): {dev['mb_s']:.1f} MB/s/chip  "
         f"{dev['us_per_step']:.2f} us/step  L={dev['lanes']}")
+
+    # measured link bandwidth for the auto-router calibration: one 8 MB
+    # round trip (H2D + D2H), best of 3 — the axon tunnel swings 2x
+    # day-to-day, so refreshing per bench run is the point
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    buf = np.zeros(8 * 1024 * 1024, dtype=np.uint8)
+    link_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jnp.asarray(buf)
+        jax.block_until_ready(d)
+        _ = np.asarray(d)
+        link_best = min(link_best, time.perf_counter() - t0)
+    link_mbs = 2 * len(buf) / 1e6 / link_best
+    log(f"link bandwidth (8 MB round trip): {link_mbs:.1f} MB/s")
     # Multi-chip projection, reported ONLY with its measured basis: the
     # production shard_map path timed against the plain kernel on the
     # one real chip (lane dp split needs zero collectives; the overhead
@@ -137,6 +155,8 @@ def bench_tpu(expected: bytes) -> dict:
         "tpu_corpus_mb": round(len(data) / 1e6, 1),
         "tpu_shard_overhead_pct": round(oh["overhead_pct"], 1),
         "tpu_projected_4chip_mb_s": round(proj4, 0),
+        "_link_mbs": link_mbs,
+        "_flag_us_per_step": dev["us_per_step"],
     }
     out.update(bench_tpu_stock64k(expected))
     return out
@@ -185,6 +205,7 @@ def bench_tpu_stock64k(expected: bytes) -> dict:
     return {
         "tpu_stock64k_e2e_mb_s": round(e2e_mbs, 1),
         "tpu_stock64k_device_mb_s": round(dev["mb_s"], 1),
+        "_stock_us_per_step": dev["us_per_step"],
     }
 
 
@@ -234,6 +255,30 @@ def main() -> None:
             except Exception as e:  # never lose the host number
                 log(f"tpu lane failed: {type(e).__name__}: {e}")
 
+    # Persist the measured auto-router calibration (VERDICT r4 item 5):
+    # the router's throughput model then reflects THIS host instead of
+    # the v5e defaults. Env pins (LZMA_RS_TPU_CAL_*) still win at read
+    # time. The step-cost line us/step = A + B*port_rows is fit from the
+    # two measured kernel shapes (flagship ring 512 rows, stock-64k
+    # full-window 16384 rows) when both ran.
+    try:
+        from lzma_rs_tpu.parallel import runtime as _rt
+
+        cal = {"native_mbs": ours_mbs}
+        if "_link_mbs" in tpu:
+            cal["link_mbs"] = tpu["_link_mbs"]
+        if "_flag_us_per_step" in tpu and "_stock_us_per_step" in tpu:
+            r0, r1 = 512.0, 16384.0
+            u0 = tpu["_flag_us_per_step"]
+            u1 = tpu["_stock_us_per_step"]
+            b = max((u1 - u0) / (r1 - r0), 0.0)
+            cal["step_b"] = b
+            cal["step_a"] = max(u0 - b * r0, 0.1)
+        path = _rt.write_calibration(**cal)
+        log(f"calibration written: {path} <- {cal}")
+    except Exception as e:
+        log(f"calibration write failed: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
@@ -242,7 +287,7 @@ def main() -> None:
                 "unit": "MB/s",
                 "vs_baseline": round(ours_mbs / base_mbs, 3),
                 "host_mb_s": round(ours_mbs, 1),
-                **tpu,
+                **{k: v for k, v in tpu.items() if not k.startswith("_")},
             }
         )
     )

@@ -95,6 +95,7 @@ _SLOTS = (
     "state", "rep0", "rep1", "rep2", "rep3", "acc", "cnt", "tmp", "rev",
     "length", "dist", "mbyte", "prevb", "tile_base",
     "pw0i", "pw0w", "pw1i", "pw1w", "wwi", "www", "pubi", "pubw",
+    "pub2i", "pub2w",
 )
 NSLOT = len(_SLOTS)
 _OUTP_SLOT = _SLOTS.index("outp")
@@ -110,6 +111,8 @@ _WWI_SLOT = _SLOTS.index("wwi")
 _WWW_SLOT = _SLOTS.index("www")
 _PUBI_SLOT = _SLOTS.index("pubi")
 _PUBW_SLOT = _SLOTS.index("pubw")
+_PUB2I_SLOT = _SLOTS.index("pub2i")
+_PUB2W_SLOT = _SLOTS.index("pub2w")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,6 +358,40 @@ def decode_segments_vmem2(
                 table_ref[:] = jnp.where(
                     mk(idx), _tile_lane(val)[None], table_ref[:]
                 )
+        def fold_blend_read(table_ref, bidx, bval, ridx, nrows, f):
+            """Fused per-half publish + port read: ONE traversal blends
+            ``table[bidx] = bval`` (bidx < 0 = no write) and returns
+            ``table[ridx]`` from the blended view. The write-back and
+            the select ride the same pass over the rows (the round-4
+            probes measured riders at ~0.4 us vs ~2.6 us for a separate
+            full pass), halving the per-step window cost of the
+            full-window path versus separate fold_blend + fold_read."""
+            if f == 1:
+                rows = jax.lax.broadcasted_iota(_I32, (nrows, S, M), 0)
+                blended = jnp.where(
+                    rows == bidx[None], bval[None], table_ref[:]
+                )
+                table_ref[:] = blended
+                return jnp.sum(
+                    jnp.where(rows == ridx[None], blended, 0), axis=0
+                )
+            R = nrows // f
+            rows = jax.lax.broadcasted_iota(_I32, (R, FS, M), 0)
+            bhi = _tile_lane(jnp.where(bidx >= 0, bidx >> FSH, -1))
+            blo = subi_f == _tile_lane(bidx & (f - 1))
+            blended = jnp.where(
+                (rows == bhi[None]) & blo[None],
+                _tile_lane(bval)[None], table_ref[:],
+            )
+            table_ref[:] = blended
+            rhi = _tile_lane(ridx >> FSH)
+            blk = jnp.sum(
+                jnp.where(rows == rhi[None], blended, 0), axis=0
+            )
+            rlo = _tile_lane(ridx & (f - 1))
+            picked = jnp.where(subi_f == rlo, blk, 0)
+            return jnp.sum(picked.reshape(f, S, M), axis=0)
+
         zt = jnp.zeros((S, M), _I32)
         st_ref[:] = jnp.zeros((NSLOT, S, M), _I32)
         st_ref[_NODE_SLOT] = zt + N_CHUNK
@@ -363,6 +400,7 @@ def decode_segments_vmem2(
         st_ref[_PW1I_SLOT] = zt - 1
         st_ref[_WWI_SLOT] = zt - 1  # no pending window/ring write
         st_ref[_PUBI_SLOT] = zt - 1  # no completed word awaiting publish
+        st_ref[_PUB2I_SLOT] = zt - 1  # second publish slot (8-byte steps)
 
         def load_state():
             return tuple(st_ref[i] for i in range(NSLOT))
@@ -446,7 +484,7 @@ def decode_segments_vmem2(
             (node0, meta0, rng, cod, inp, inend, outp, outend, state,
              rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
              mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
-             wwi, www, pubi, pubw) = carry
+             wwi, www, pubi, pubw, pub2i, pub2w) = carry
             err = meta0 & 15
             pending = (meta0 >> 4) & 3
             len_rep = (meta0 >> 6) & 1
@@ -514,6 +552,8 @@ def decode_segments_vmem2(
                     & (length <= kc_pre) & (outp < outend)
                     & (outp + kc_pre < outend) & (imq == 0)
                 )
+                if "chainC" in _ABLATE:
+                    copy_fin = copy_fin & (node0 == N_ERROR)
                 ismatch_c = jnp.clip(
                     H_IS_MATCH + state * NPS
                     + ((outp + kc_pre) & ((1 << pb) - 1)),
@@ -624,12 +664,16 @@ def decode_segments_vmem2(
                         # symbol's is_match bit; that entry is a pure
                         # function of after_lit(state) and outp+1.
                         ca_cand = (node == N_ISMATCH) & (state < 7)
+                        if "chainA" in _ABLATE:
+                            ca_cand = ca_cand & (node == N_ERROR)
                         # chain D: the copy-completion step decodes
                         # is_match at j=0 (chain C); when that bit is 1
                         # the successor is is_rep, whose entry depends
                         # only on state — decode it at j=1 of the SAME
                         # step (two chained control bits per copy end).
                         d_sel = copy_fin
+                        if "chainD" in _ABLATE:
+                            d_sel = d_sel & (node == N_ERROR)
                         pair_start = jnp.clip(
                             lit_state0 * LIT_ROW + 1, 0, LIT_W - 1
                         )
@@ -637,6 +681,8 @@ def decode_segments_vmem2(
                             is_lit_j & (acc >= 0x80)
                             & (outp + 1 < outend)
                         )
+                        if "chainB" in _ABLATE:
+                            cb_sel = cb_sel & (node == N_ERROR)
                         ismatch_next = jnp.clip(
                             H_IS_MATCH + _after_lit(state) * NPS
                             + ((outp + 1) & ((1 << pb) - 1)),
@@ -772,6 +818,8 @@ def decode_segments_vmem2(
                             okj & (node == N_ISMATCH) & (bit == 0)
                             & (state < 7)
                         )
+                        if "chainA" in _ABLATE:
+                            ca_mask = ca_mask & (node == N_ERROR)
                         node = jnp.where(ca_mask, N_LIT, node)
                         acc = jnp.where(ca_mask, 1, acc)
                         lit_ctx = jnp.where(ca_mask, lit_state0, lit_ctx)
@@ -1000,6 +1048,25 @@ def decode_segments_vmem2(
                 jnp.minimum(4 - (outp & 3), length), outend - outp
             )
             k_copy = jnp.clip(k_copy, 1, 4)
+            # 8-byte copy steps: a word-aligned destination with >8 bytes
+            # left retires TWO full output words per step when the 8
+            # source bytes are already in the port's two fetched words —
+            # dist a multiple of 4 (aligned source, a==0) or dist 1/2
+            # (the 4-byte replication group repeats with period dividing
+            # 4, so the second word equals the first). length > 8
+            # strictly: the copy never COMPLETES on an 8-byte step, so
+            # the copy-end chains (copy_fin/imq) are untouched. Only the
+            # register-resident output-word modes can absorb two whole
+            # words per step (ring / GAPFREE).
+            if (cfg.RING or cfg.GAPFREE) and "m8" not in _ABLATE:
+                m8 = (
+                    m_w & ((outp & 3) == 0) & (length > 8)
+                    & (outp + 8 <= outend)
+                    & (((dist & 3) == 0) | (dist <= 2))
+                )
+            else:
+                m8 = jnp.zeros_like(node0) == 1  # old-word RMW path: never
+            k_copy = jnp.where(m8, 8, k_copy)
             nadv = jnp.where(m_w, k_copy, 1)  # literal lanes emit 1 byte
             length = jnp.where(m_w, length - nadv, length)
             copy_done = m_w & (length == 0)
@@ -1131,6 +1198,8 @@ def decode_segments_vmem2(
             # the growing word each step, into its parity half.
             if cfg.RING:
                 rows_h = jax.lax.broadcasted_iota(_I32, (RWH, S, M), 0)
+                blended_e = ring_e[:]
+                blended_o = ring_o[:]
                 if "winwrite" not in _ABLATE:
                     # publish only COMPLETED words: a partially-built
                     # word must not clobber its ring slot early — the
@@ -1139,28 +1208,67 @@ def decode_segments_vmem2(
                     # bytes (the round-4 ring-miss regression). The word
                     # under construction stays register-resident; the
                     # port splices it below. Republish is idempotent.
+                    # two pending completed words at most (an 8-byte
+                    # step's pair is consecutive, so they always land in
+                    # different parity halves — one blend each)
                     pv = pubi >= 0
+                    p2v = pub2i >= 0
                     pslot = pubi & (RW_WORDS - 1)
-                    ie = jnp.where(pv & ((pslot & 1) == 0), pslot >> 1, -1)
-                    io = jnp.where(pv & ((pslot & 1) == 1), pslot >> 1, -1)
-                    ring_e[:] = jnp.where(
-                        rows_h == ie[None], pubw[None], ring_e[:]
+                    p2slot = pub2i & (RW_WORDS - 1)
+                    pe1 = pv & ((pslot & 1) == 0)
+                    pe2 = p2v & ((p2slot & 1) == 0)
+                    ie = jnp.where(
+                        pe1, pslot >> 1, jnp.where(pe2, p2slot >> 1, -1)
                     )
-                    ring_o[:] = jnp.where(
-                        rows_h == io[None], pubw[None], ring_o[:]
+                    ve = jnp.where(pe1, pubw, pub2w)
+                    po1 = pv & ((pslot & 1) == 1)
+                    po2 = p2v & ((p2slot & 1) == 1)
+                    io = jnp.where(
+                        po1, pslot >> 1, jnp.where(po2, p2slot >> 1, -1)
                     )
+                    vo = jnp.where(po1, pubw, pub2w)
+                    # keep the blended VALUES for the port sums below:
+                    # the read then rides the same traversal as the
+                    # publish instead of re-reading the stored halves
+                    blended_e = jnp.where(
+                        rows_h == ie[None], ve[None], blended_e
+                    )
+                    blended_o = jnp.where(
+                        rows_h == io[None], vo[None], blended_o
+                    )
+                    ring_e[:] = blended_e
+                    ring_o[:] = blended_o
             else:
-                if "winwrite" not in _ABLATE:
-                    # publish the pending word into its parity half
-                    # (folded). GAPFREE keeps it register-resident (same
-                    # protocol as ring mode); otherwise it re-arms next
-                    # write.
-                    ie = jnp.where((wwi & 1) == 0, wwi >> 1, -1)
-                    io = jnp.where((wwi & 1) == 1, wwi >> 1, -1)
-                    fold_blend(win_e, ie, www, WIN_WORDS // 2, F)
-                    fold_blend(win_o, io, www, WIN_WORDS // 2, F)
-                    if not cfg.GAPFREE:
-                        wwi = zt - 1
+                # publish indices for the pending word (its parity
+                # half), plus an 8-byte step's second completed word
+                # (consecutive => opposite parity, so each half still
+                # takes exactly one blend index). GAPFREE keeps the
+                # register word resident (same protocol as ring mode);
+                # otherwise it re-arms next write. The blends are FUSED
+                # into the port reads below (fold_blend_read) — one
+                # traversal per half does publish + read.
+                we1 = ((wwi & 1) == 0) & (wwi >= 0)
+                p2v = pub2i >= 0
+                pe2 = p2v & ((pub2i & 1) == 0)
+                ie = jnp.where(
+                    we1, wwi >> 1, jnp.where(pe2, pub2i >> 1, -1)
+                )
+                ve = jnp.where(we1, www, pub2w)
+                wo1 = ((wwi & 1) == 1) & (wwi >= 0)
+                po2 = p2v & ((pub2i & 1) == 1)
+                io = jnp.where(
+                    wo1, wwi >> 1, jnp.where(po2, pub2i >> 1, -1)
+                )
+                vo = jnp.where(wo1, www, pub2w)
+                if "winwrite" in _ABLATE:
+                    ie = zt - 1
+                    io = zt - 1
+                elif "port" in _ABLATE:
+                    # port pass ablated: publish still must happen
+                    fold_blend(win_e, ie, ve, WIN_WORDS // 2, F)
+                    fold_blend(win_o, io, vo, WIN_WORDS // 2, F)
+                if not cfg.GAPFREE and "winwrite" not in _ABLATE:
+                    wwi = zt - 1
             if "port" in _ABLATE:
                 w0 = pw_idx * 0
                 w1 = w0
@@ -1171,10 +1279,10 @@ def decode_segments_vmem2(
                 re = jnp.where(p0 == 0, r0_, r1_) >> 1
                 ro = jnp.where(p0 == 0, r1_, r0_) >> 1
                 we = jnp.sum(
-                    jnp.where(rows_h == re[None], ring_e[:], 0), axis=0
+                    jnp.where(rows_h == re[None], blended_e, 0), axis=0
                 )
                 wo = jnp.sum(
-                    jnp.where(rows_h == ro[None], ring_o[:], 0), axis=0
+                    jnp.where(rows_h == ro[None], blended_o, 0), axis=0
                 )
                 w0 = jnp.where(p0 == 0, we, wo)
                 w1 = jnp.where(p0 == 0, wo, we)
@@ -1189,8 +1297,8 @@ def decode_segments_vmem2(
                 p0 = r0_ & 1
                 re = jnp.where(p0 == 0, r0_, r1_) >> 1
                 ro = jnp.where(p0 == 0, r1_, r0_) >> 1
-                we = fold_read(win_e[:], re, WIN_WORDS // 2, F)
-                wo = fold_read(win_o[:], ro, WIN_WORDS // 2, F)
+                we = fold_blend_read(win_e, ie, ve, re, WIN_WORDS // 2, F)
+                wo = fold_blend_read(win_o, io, vo, ro, WIN_WORDS // 2, F)
                 w0 = jnp.where(p0 == 0, we, wo)
                 w1 = jnp.where(p0 == 0, wo, we)
             port_byte = _extract_byte(w0, port_pos & 3)
@@ -1218,6 +1326,11 @@ def decode_segments_vmem2(
                     ),
                 ),
             )
+            # second source group for 8-byte copy steps (m8): an aligned
+            # source (dist % 4 == 0 -> a == 0) takes the port's second
+            # word directly; dist 1/2/4 groups repeat with period
+            # dividing 4, so the second word equals the first
+            grp2 = jnp.where(dist >= 8, w1u, grp)
 
             # -------- combined window write (literal emit OR copy group) --
             wmask = done_lit | m_w
@@ -1264,8 +1377,19 @@ def decode_segments_vmem2(
                 pubw = jnp.where(crossed, www, pubw)
                 base = jnp.where(same, www, 0).astype(_U32)
                 new_w = ((base & ~maskp) | placed).astype(_I32)
-                wwi = jnp.where(wmask, widx, wwi)
-                www = jnp.where(wmask, new_w, www)
+                # 8-byte steps complete TWO words: widx (= new_w — the
+                # aligned full-mask write) goes to the second publish
+                # slot, widx+1 (grp2) becomes the register word. pub2i
+                # lives exactly one step (published by the next step's
+                # blend, then cleared) so a stale entry can never stomp
+                # its ring slot after the ring wraps.
+                pub2i = jnp.where(m8, widx, zt - 1)
+                pub2w = jnp.where(m8, new_w, pub2w)
+                wwi = jnp.where(wmask, jnp.where(m8, widx + 1, widx), wwi)
+                www = jnp.where(
+                    wmask,
+                    jnp.where(m8, grp2.astype(_I32), new_w), www,
+                )
             elif cfg.GAPFREE:
                 # planner-proved gap-free: same register-resident word
                 # scheme as ring mode, on the full window
@@ -1273,8 +1397,15 @@ def decode_segments_vmem2(
                 same = widx_t == wwi
                 base = jnp.where(same, www, 0).astype(_U32)
                 new_w = ((base & ~maskp) | placed).astype(_I32)
-                wwi = jnp.where(wmask, widx_t, wwi)
-                www = jnp.where(wmask, new_w, www)
+                pub2i = jnp.where(m8, widx_t, zt - 1)
+                pub2w = jnp.where(m8, new_w, pub2w)
+                wwi = jnp.where(
+                    wmask, jnp.where(m8, widx_t + 1, widx_t), wwi
+                )
+                www = jnp.where(
+                    wmask,
+                    jnp.where(m8, grp2.astype(_I32), new_w), www,
+                )
             else:
                 widx_t = widx
                 p_w = widx_t & 1
@@ -1297,7 +1428,11 @@ def decode_segments_vmem2(
                 jnp.where(
                     wcnt == 2, (wval >> 8) & 0xFF,
                     jnp.where(
-                        wcnt == 3, (wval >> 16) & 0xFF, (wval >> 24) & 0xFF
+                        wcnt == 3, (wval >> 16) & 0xFF,
+                        jnp.where(
+                            wcnt == 8, (grp2 >> 24) & 0xFF,
+                            (wval >> 24) & 0xFF,
+                        ),
                     ),
                 ),
             ).astype(_I32)
@@ -1313,7 +1448,7 @@ def decode_segments_vmem2(
             return (node, meta, rng, cod, inp, inend, outp, outend, state,
                     rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
                     dist, mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
-                    wwi, www, pubi, pubw)
+                    wwi, www, pubi, pubw, pub2i, pub2w)
 
         def flush_pending_window():
             """Apply the deferred window/ring write held in the wwi/www
@@ -1323,29 +1458,54 @@ def decode_segments_vmem2(
             output buffer)."""
             wwi_s = st_ref[_WWI_SLOT]
             www_s = st_ref[_WWW_SLOT]
+            pub2i_s = st_ref[_PUB2I_SLOT]
+            pub2w_s = st_ref[_PUB2W_SLOT]
             if cfg.RING:
-                # publish the pending COMPLETED word (idempotent); the
-                # word under construction stays register-resident — its
+                # publish the pending COMPLETED word(s) (idempotent; an
+                # 8-byte step leaves a second one in pub2); the word
+                # under construction stays register-resident — its
                 # written bytes reach the full window via ring_flush's
                 # direct merge, never the ring (see the write section)
                 pubi_s = st_ref[_PUBI_SLOT]
                 pubw_s = st_ref[_PUBW_SLOT]
                 rows_h = jax.lax.broadcasted_iota(_I32, (RWH, S, M), 0)
                 pv = pubi_s >= 0
+                p2v = pub2i_s >= 0
                 pslot = pubi_s & (RW_WORDS - 1)
-                ie = jnp.where(pv & ((pslot & 1) == 0), pslot >> 1, -1)
-                io = jnp.where(pv & ((pslot & 1) == 1), pslot >> 1, -1)
+                p2slot = pub2i_s & (RW_WORDS - 1)
+                pe1 = pv & ((pslot & 1) == 0)
+                pe2 = p2v & ((p2slot & 1) == 0)
+                ie = jnp.where(
+                    pe1, pslot >> 1, jnp.where(pe2, p2slot >> 1, -1)
+                )
+                ve = jnp.where(pe1, pubw_s, pub2w_s)
+                po1 = pv & ((pslot & 1) == 1)
+                po2 = p2v & ((p2slot & 1) == 1)
+                io = jnp.where(
+                    po1, pslot >> 1, jnp.where(po2, p2slot >> 1, -1)
+                )
+                vo = jnp.where(po1, pubw_s, pub2w_s)
                 ring_e[:] = jnp.where(
-                    rows_h == ie[None], pubw_s[None], ring_e[:]
+                    rows_h == ie[None], ve[None], ring_e[:]
                 )
                 ring_o[:] = jnp.where(
-                    rows_h == io[None], pubw_s[None], ring_o[:]
+                    rows_h == io[None], vo[None], ring_o[:]
                 )
             else:
-                ie = jnp.where((wwi_s & 1) == 0, wwi_s >> 1, -1)
-                io = jnp.where((wwi_s & 1) == 1, wwi_s >> 1, -1)
-                fold_blend(win_e, ie, www_s, WIN_WORDS // 2, F)
-                fold_blend(win_o, io, www_s, WIN_WORDS // 2, F)
+                we1 = ((wwi_s & 1) == 0) & (wwi_s >= 0)
+                pe2 = (pub2i_s >= 0) & ((pub2i_s & 1) == 0)
+                ie = jnp.where(
+                    we1, wwi_s >> 1, jnp.where(pe2, pub2i_s >> 1, -1)
+                )
+                ve = jnp.where(we1, www_s, pub2w_s)
+                wo1 = ((wwi_s & 1) == 1) & (wwi_s >= 0)
+                po2 = (pub2i_s >= 0) & ((pub2i_s & 1) == 1)
+                io = jnp.where(
+                    wo1, wwi_s >> 1, jnp.where(po2, pub2i_s >> 1, -1)
+                )
+                vo = jnp.where(wo1, www_s, pub2w_s)
+                fold_blend(win_e, ie, ve, WIN_WORDS // 2, F)
+                fold_blend(win_o, io, vo, WIN_WORDS // 2, F)
                 if not cfg.GAPFREE:
                     st_ref[_WWI_SLOT] = jnp.zeros((S, M), _I32) - 1
 

@@ -1059,21 +1059,78 @@ def _host_lzma2(data: bytes) -> bytes:
 #                               text, tools/probe_sym_stats.py)
 
 
-def _auto_calibration() -> dict:
+_CAL_KEYS = (
+    # (key, env var, v5e default from docs/KERNEL_r03/r04.md)
+    ("native_mbs", "LZMA_RS_TPU_CAL_NATIVE_MBS", 120.0),
+    ("link_mbs", "LZMA_RS_TPU_CAL_LINK_MBS", 25.0),
+    # kernel fit: 5.49 us at 512 ring rows, 8.52 us at 16384
+    # full-window rows (sublane-folded)
+    ("step_a", "LZMA_RS_TPU_CAL_STEP_A", 5.4),
+    ("step_b", "LZMA_RS_TPU_CAL_STEP_B", 0.000191),
+    ("steps_per_byte", "LZMA_RS_TPU_CAL_STEPS_PER_B", 3.2),
+)
+
+
+def calibration_path() -> str:
+    """Measured-calibration file location (host-specific cache;
+    LZMA_RS_TPU_CAL_FILE overrides)."""
     import os
 
-    def f(name, default):
-        return float(os.environ.get(name, str(default)))
+    return os.environ.get(
+        "LZMA_RS_TPU_CAL_FILE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "lzma_rs_tpu",
+            "calibration.json",
+        ),
+    )
 
-    return {
-        "native_mbs": f("LZMA_RS_TPU_CAL_NATIVE_MBS", 120.0),
-        "link_mbs": f("LZMA_RS_TPU_CAL_LINK_MBS", 25.0),
-        # round-4 kernel fit (docs/KERNEL_r04.md): 5.49 us at 512 ring
-        # rows, 8.52 us at 16384 full-window rows (sublane-folded)
-        "step_a": f("LZMA_RS_TPU_CAL_STEP_A", 5.4),
-        "step_b": f("LZMA_RS_TPU_CAL_STEP_B", 0.000191),
-        "steps_per_byte": f("LZMA_RS_TPU_CAL_STEPS_PER_B", 3.2),
-    }
+
+def write_calibration(**vals) -> str:
+    """Merge measured constants into the calibration file (bench.py and
+    tools/calibrate.py call this so the auto-router's model reflects
+    THIS host, not the v5e defaults)."""
+    import json
+    import os
+
+    path = calibration_path()
+    data = {}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        pass
+    data.update({k: float(v) for k, v in vals.items() if v is not None})
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1)
+    os.replace(tmp, path)
+    return path
+
+
+def _auto_calibration() -> dict:
+    """Auto-router model constants. Precedence per key: env var >
+    measured calibration file (``calibration_path()``) > built-in v5e
+    default — so a bench/calibrate run fixes the model for this host
+    while explicit env pins still win."""
+    import json
+    import os
+
+    file_vals = {}
+    try:
+        with open(calibration_path()) as f:
+            file_vals = json.load(f)
+    except Exception:
+        pass
+    out = {}
+    for key, env, default in _CAL_KEYS:
+        if env in os.environ:
+            out[key] = float(os.environ[env])
+        elif key in file_vals:
+            out[key] = float(file_vals[key])
+        else:
+            out[key] = default
+    return out
 
 
 def _estimate_engine_seconds(

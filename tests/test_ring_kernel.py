@@ -178,6 +178,48 @@ class TestRingKernelGen2:
                                         config=cfg, interpret=True)
         assert out == data
 
+    def test_8byte_copy_steps_aligned_distances(self):
+        # long matches at word-multiple distances with every destination
+        # alignment: the m8 fast path (two completed output words per
+        # step) must hand both words through the parity publish slots
+        # bit-exactly, including the step after m8 stops firing
+        for period in (4, 8, 12, 64, 512):
+            page = bytes((i * 29 + period) & 0xFF for i in range(period))
+            for shift in (0, 1, 2, 3, 5):
+                data = (b"Z" * shift + page * (3000 // period))[:2900]
+                assert _decode_ring2(_archive(data)) == data, (period, shift)
+
+    def test_8byte_copy_steps_rle(self):
+        # dist 1/2 long runs ride m8 via the replication group; dist 3
+        # must stay on the 4-byte path (period does not divide 4)
+        for pat in (b"\x00", b"\xa7", b"ab", b"xyz"):
+            data = (b"lead" + pat * 4000)[:3900]
+            assert _decode_ring2(_archive(data)) == data, pat
+
+    def test_8byte_copy_length_edges(self):
+        # match lengths straddling the m8 threshold (fires only at
+        # length > 8) and the tail handoff back to the 4-byte path
+        chunks = []
+        for n in (8, 9, 10, 15, 16, 17, 24, 33):
+            chunks.append(bytes(range(1, 13)) * 4)  # seed dist-12 source
+            chunks.append(b"." * n)
+        data = (b"".join(chunks) * 6)[:3800]
+        assert _decode_ring2(_archive(data)) == data
+
+    def test_8byte_copy_gapfree_fullwindow(self):
+        # same shapes through the GAPFREE full-window mode (wwi + pub2
+        # dual publish into the parity halves)
+        cfg = KernelConfig2(L=4, W=4096, W_IN=4096, NLIT=1, K=8,
+                            RING=0, GAPFREE=1, TB=2, TILE=384, MAINT=64)
+        page = bytes((i * 29 + 3) & 0xFF for i in range(64))
+        for shift in (0, 1, 3):
+            data = (b"Q" * shift + page * 60 + b"ab" * 300)[:3800]
+            plans, *_ = runtime.plan_xz(_archive(data))
+            out = runtime.execute_plan_vmem(
+                _archive(data), plans, config=cfg, interpret=True
+            )
+            assert out == data, shift
+
     def test_gapfree_fullwindow_stock_geometry(self):
         # the stock-64KiB production shape class on CPU: full window
         # (no ring), GAPFREE register-resident output word, sublane
