@@ -1980,6 +1980,11 @@ struct Bt4MatchFinder {
       }
       const uint8_t* q = data + cand;
       uint32_t len = len0 < len1 ? len0 : len1;
+      // the walk is a pointer-chase through tree[]; prefetching the
+      // candidate's child pair (one cache line) overlaps the string
+      // compare with the next node's load (+8% encode throughput;
+      // prefetching q+len as well measured slower)
+      __builtin_prefetch(&tree[2 * size_t(cand)]);
       if (q[len] == cur[len]) {
         len = uint32_t(extend_match(q, cur, len, tree_limit));
         uint32_t cl = len < search_limit ? len : uint32_t(search_limit);
@@ -2134,6 +2139,45 @@ static void emit_step(const uint8_t* block, size_t pos, LzmaEncoder& enc,
 // pos_state x all 272 values; distance prices cache every dist_field
 // < 128 fully and fall back to slot + direct + align tables beyond
 // (dist_field >= 128 implies slot >= 14: no spec_pos part).
+//
+// Build cost matters: one build per 512-byte DP window was ~20% of
+// encode time when each leaf price re-walked its tree. The builders
+// below enumerate a whole tree's leaf prices in O(leaves) via the
+// node-cumulative table (cum[2m] = cum[m] + price0, cum[2m+1] = cum[m]
+// + price1), then assemble the public tables with adds only.
+
+// out[sym] = price of coding `sym` through the `bits`-deep forward
+// tree at probs[base+1..]; cum must hold 2<<bits entries.
+static void tree_leaf_prices(const uint16_t* probs, size_t base, int bits,
+                             uint32_t* out, uint32_t* cum) {
+  const int top = 1 << bits;
+  cum[1] = 0;
+  for (int m = 1; m < top; m++) {
+    uint16_t p = probs[base + size_t(m)];
+    cum[2 * m] = cum[m] + price0(p);
+    cum[2 * m + 1] = cum[m] + price1(p);
+  }
+  for (int s = 0; s < top; s++) out[s] = cum[top + s];
+}
+
+// Reverse-tree variant (bits consumed LSB-first): leaf node top+m
+// corresponds to value bitrev(m).
+static void rtree_leaf_prices(const uint16_t* probs, size_t base, int bits,
+                              uint32_t* out, uint32_t* cum) {
+  const int top = 1 << bits;
+  cum[1] = 0;
+  for (int m = 1; m < top; m++) {
+    uint16_t p = probs[base + size_t(m)];
+    cum[2 * m] = cum[m] + price0(p);
+    cum[2 * m + 1] = cum[m] + price1(p);
+  }
+  for (int m = 0; m < top; m++) {
+    uint32_t v = 0;
+    for (int i = 0; i < bits; i++) v |= uint32_t((m >> i) & 1) << (bits - 1 - i);
+    out[v] = cum[top + m];
+  }
+}
+
 struct WinPrices {
   uint32_t len_p[2][16][272];
   uint32_t dist_lo[4][128];
@@ -2141,23 +2185,50 @@ struct WinPrices {
   uint32_t align_p[16];
 
   void build(const LzmaEncoder& enc) {
+    uint32_t cum[512];
+    uint32_t high_p[256], low_p[8], mid_p[8];
+    const uint16_t* pr = enc.probs.data();
     size_t nps = size_t(1) << enc.pb;
     for (int rep = 0; rep < 2; rep++) {
       size_t base =
           rep ? enc.layout.rep_len_coder : enc.layout.len_coder;
-      for (size_t ps = 0; ps < nps; ps++)
-        for (uint32_t lv = 0; lv < 272; lv++)
-          len_p[rep][ps][lv] = enc.price_len(base, ps, lv);
+      uint32_t c0 = price0(pr[base + kLenChoice]);
+      uint32_t c1 = price1(pr[base + kLenChoice]);
+      uint32_t c20 = c1 + price0(pr[base + kLenChoice2]);
+      uint32_t c21 = c1 + price1(pr[base + kLenChoice2]);
+      tree_leaf_prices(pr, base + kLenHigh, 8, high_p, cum);
+      for (size_t ps = 0; ps < nps; ps++) {
+        tree_leaf_prices(pr, base + kLenLow + ps * 8, 3, low_p, cum);
+        tree_leaf_prices(pr, base + kLenMid + ps * 8, 3, mid_p, cum);
+        uint32_t* lp = len_p[rep][ps];
+        for (int v = 0; v < 8; v++) lp[v] = c0 + low_p[v];
+        for (int v = 0; v < 8; v++) lp[8 + v] = c20 + mid_p[v];
+        for (int v = 0; v < 256; v++) lp[16 + v] = c21 + high_p[v];
+      }
+    }
+    for (int ls = 0; ls < 4; ls++)
+      tree_leaf_prices(pr, enc.layout.pos_slot + size_t(ls) * 64, 6,
+                       slot_p[ls], cum);
+    // spec-pos contribution for df in [4, 128) is len_state-independent
+    uint32_t spec_part[128] = {0};
+    for (uint32_t slot = 4; slot < 14; slot++) {
+      int nd = int(slot >> 1) - 1;
+      uint32_t base_d = (2u | (slot & 1)) << nd;
+      uint32_t rp[32];
+      rtree_leaf_prices(pr, enc.layout.spec_pos + size_t(base_d - slot),
+                        nd, rp, cum);
+      for (uint32_t rest = 0; rest < (1u << nd); rest++)
+        spec_part[base_d + rest] = rp[rest];
     }
     for (int ls = 0; ls < 4; ls++) {
-      for (uint32_t slot = 0; slot < 64; slot++)
-        slot_p[ls][slot] =
-            enc.ptree(6, enc.layout.pos_slot + size_t(ls) * 64, slot);
-      for (uint32_t df = 0; df < 128; df++)
-        dist_lo[ls][df] = enc.price_dist(uint32_t(ls), df);
+      for (uint32_t df = 0; df < 4; df++) dist_lo[ls][df] = slot_p[ls][df];
+      for (uint32_t df = 4; df < 128; df++) {
+        int nb = 32 - __builtin_clz(df);
+        uint32_t slot = uint32_t((nb - 1) * 2 + ((df >> (nb - 2)) & 1));
+        dist_lo[ls][df] = slot_p[ls][slot] + spec_part[df];
+      }
     }
-    for (uint32_t a = 0; a < 16; a++)
-      align_p[a] = enc.prtree(4, enc.layout.align, a);
+    rtree_leaf_prices(pr, enc.layout.align, 4, align_p, cum);
   }
 
   uint32_t dist(uint32_t lval, uint32_t df) const {

@@ -358,6 +358,55 @@ def decode_segments_vmem2(
                 table_ref[:] = jnp.where(
                     mk(idx), _tile_lane(val)[None], table_ref[:]
                 )
+        def fold_blend2_read2(
+            table_ref, b0i, b0v, b1i, b1v, r0i, r1i, nrows, f
+        ):
+            """One traversal over ``table_ref``: retire TWO pending
+            word writes (newest outermost, negative index = none) and
+            read TWO words from the blended view. Replaces the TB=2 j0
+            probability path's separate fold_blend + 2x fold_read —
+            three full table passes — with one; the prob table is the
+            single largest per-step traversal (NLIT tables dominate
+            rows), so the riders are the round-5 flagship lever."""
+            if f == 1:
+                rows = jax.lax.broadcasted_iota(_I32, (nrows, S, M), 0)
+                blended = jnp.where(
+                    rows == b1i[None], b1v[None],
+                    jnp.where(rows == b0i[None], b0v[None], table_ref[:]),
+                )
+                table_ref[:] = blended
+                r0 = jnp.sum(
+                    jnp.where(rows == r0i[None], blended, 0), axis=0
+                )
+                r1 = jnp.sum(
+                    jnp.where(rows == r1i[None], blended, 0), axis=0
+                )
+                return r0, r1
+            R = nrows // f
+            rows = jax.lax.broadcasted_iota(_I32, (R, FS, M), 0)
+
+            def mk(i):
+                hi = _tile_lane(jnp.where(i >= 0, i >> FSH, -1))
+                lo = subi_f == _tile_lane(i & (f - 1))
+                return (rows == hi[None]) & lo[None]
+
+            blended = jnp.where(
+                mk(b1i), _tile_lane(b1v)[None],
+                jnp.where(mk(b0i), _tile_lane(b0v)[None], table_ref[:]),
+            )
+            table_ref[:] = blended
+
+            def rd(ridx):
+                hi = _tile_lane(ridx >> FSH)
+                blk = jnp.sum(
+                    jnp.where(rows == hi[None], blended, 0), axis=0
+                )
+                lo = _tile_lane(ridx & (f - 1))
+                picked = jnp.where(subi_f == lo, blk, 0)
+                return jnp.sum(picked.reshape(f, S, M), axis=0)
+
+            return rd(r0i), rd(r1i)
+
         def fold_blend_read(table_ref, bidx, bval, ridx, nrows, f):
             """Fused per-half publish + port read: ONE traversal blends
             ``table[bidx] = bval`` (bidx < 0 = no write) and returns
@@ -565,6 +614,41 @@ def decode_segments_vmem2(
             d_sel = ca_mask   # chain-D prefetch selected (set at j=0)
             d_mask = ca_mask  # chain-D is_rep bit consumed at j1
             bitD = bit0
+            # chain ladder E..H (round 5): every control node whose
+            # likely successor's probability entry is a pure function of
+            # pre-step state prefetches that entry as its pair word and
+            # decodes the successor's bit at j=1 when the prediction
+            # lands. Aftermaths run through the MERGED step-end handlers
+            # (mask |= fired, bit -> bit2), so each chain costs only
+            # mask/select lane ops — no extra table traversals.
+            #   E: is_match(state>=7) bit1 -> is_rep        (matches)
+            #   F: is_rep bit0            -> len_choice     (new match)
+            #   Q: is_rep_g0 bit0         -> is_rep_0long   (rep0 path)
+            #   O: is_rep_0long bit1      -> len_choice     (long rep0)
+            #   G: len_choice BOTH: bit0 -> first low-tree bit (pair);
+            #      bit1 -> len_choice2 (lives in j0's OWN pword — len
+            #      bases are even, hot_layout)
+            #   H: len_choice2 bit0       -> first mid-tree bit
+            sel_e = ca_mask
+            sel_f = ca_mask
+            sel_q = ca_mask
+            sel_o = ca_mask
+            sel_g = ca_mask
+            sel_h = ca_mask
+            fir_e = ca_mask
+            fir_f = ca_mask
+            fir_q = ca_mask
+            fir_o = ca_mask
+            fir_g0 = ca_mask
+            fir_g1 = ca_mask
+            fir_h = ca_mask
+            bit2 = bit0
+            lc_low = jnp.clip(
+                len_base + L_LOW + pos_state * 8, 0, H_TOTAL - 2
+            )
+            lc_mid = jnp.clip(
+                len_base + L_MID + pos_state * 8, 0, H_TOTAL - 2
+            )
             # the step consumes at most TB input bytes, at inp and inp+1:
             # fetch both with one tile traversal instead of one per bit
             inp_step0 = inp
@@ -587,12 +671,19 @@ def decode_segments_vmem2(
                 else:
                     cb_live = cb_sel & (acc >= 0x100)
                     d_live = d_sel & (bit0 == 1)
+                    e_live = sel_e & (bit0 == 1)
+                    f_live = sel_f & (bit0 == 0)
+                    q_live = sel_q & (bit0 == 0)
+                    o_live = sel_o & (bit0 == 1)
+                    g1_live = sel_g & (bit0 == 1)
                     cont = (
                         ((node == N_LIT) & ~litm0 & (acc < 0x100))
                         | (((node == N_LEN_TREE) | (node == N_POSSLOT)
+                            | (node == N_SPECPOS)
                             | (node == N_ALIGN) | is_direct_j)
                            & (cnt > 0))
                         | cb_live | d_live
+                        | e_live | f_live | q_live | o_live | g1_live
                     )
                     active_j = cont & (node != N_ERROR)
                     is_direct_act = is_direct_j & active_j
@@ -634,17 +725,17 @@ def decode_segments_vmem2(
                         pair_word = pword_idx
                 elif cfg.TB == 2:
                     if j == 0:
+                        # the previous step's pending prob writes retire
+                        # inside the SAME traversal as this step's two
+                        # reads (fold_blend2_read2 below): the selects
+                        # read the blended view, so no fix-ups needed
                         if "probwrite" not in _ABLATE:
-                            # retire the previous step's pendings with ONE
-                            # blend traversal (newest outermost); the
-                            # selects below read the blended table, so no
-                            # read fix-ups are needed
-                            fold_blend(
-                                prob_ref, pw0i, pw0w, PROB_WORDS, F_P,
-                                idx2=pw1i, val2=pw1w,
-                            )
+                            bl0i, bl1i = pw0i, pw1i
                             pw0i = zt - 1
                             pw1i = zt - 1
+                        else:
+                            bl0i = zt - 1
+                            bl1i = zt - 1
                         # Pair prefetch: the SECOND bit's two candidate
                         # entries are (base + 2*acc, base + 2*acc + 1)
                         # for every even-base tree (len/pos_slot/align,
@@ -688,6 +779,38 @@ def decode_segments_vmem2(
                             + ((outp + 1) & ((1 << pb) - 1)),
                             0, H_TOTAL - 1,
                         )
+                        if "chainL" not in _ABLATE:
+                            # imq lanes consume no bit at j0 (the
+                            # is_match bit was the copy step's) — their
+                            # j1 must stay idle
+                            sel_e = (
+                                (node == N_ISMATCH) & (state >= 7)
+                                & (imq == 0)
+                            )
+                            sel_f = node == N_ISREP
+                            sel_q = node == N_ISREPG0
+                            sel_o = node == N_ISREP0LONG
+                            sel_g = node == N_LEN_CHOICE
+                            sel_h = node == N_LEN_CHOICE2
+                        ladder_idx = jnp.where(
+                            sel_e, H_IS_REP + state,
+                            jnp.where(
+                                sel_f, H_LEN,
+                                jnp.where(
+                                    sel_q, H_REP0LONG + st4,
+                                    jnp.where(
+                                        sel_o, H_REP_LEN,
+                                        jnp.where(
+                                            sel_g, lc_low + 1,
+                                            jnp.where(
+                                                sel_h, lc_mid + 1,
+                                                pair_hot,
+                                            ),
+                                        ),
+                                    ),
+                                ),
+                            ),
+                        )
                         pair_idx = jnp.where(
                             cb_sel, ismatch_next,
                             jnp.where(
@@ -696,23 +819,30 @@ def decode_segments_vmem2(
                                     ca_cand, HOT_W + pair_start,
                                     jnp.where(
                                         copy_fin, H_IS_REP + state,
-                                        pair_hot,
+                                        ladder_idx,
                                     ),
                                 ),
                             ),
                         )
                         pair_word = pair_idx >> 1
-                        pword = fold_read(
-                            prob_ref[:], pword_idx, PROB_WORDS, F_P
-                        )
-                        uw = fold_read(
-                            prob_ref[:], pair_word, PROB_WORDS, F_P
+                        pword, uw = fold_blend2_read2(
+                            prob_ref, bl0i, pw0w, bl1i, pw1w,
+                            pword_idx, pair_word, PROB_WORDS, F_P,
                         )
                     else:
                         # j == 1: no table traversal — the prefetched
                         # pair word holds both candidates; bit1's own
-                        # update may share the word (register fix-up)
-                        pidx = pair_idx + jnp.where(cb_sel | d_sel, 0, bit0)
+                        # update may share the word (register fix-up).
+                        # Exact-entry chains take pair_idx verbatim; the
+                        # G bit1 path (len_choice2) reads j0's OWN word:
+                        # len bases are even so len_choice2 = base+1
+                        # shares the word j0 just read and updated.
+                        zero_off = (
+                            cb_sel | d_sel | sel_e | sel_f | sel_q
+                            | sel_o | sel_g | sel_h
+                        )
+                        pidx = pair_idx + jnp.where(zero_off, 0, bit0)
+                        pidx = jnp.where(g1_live, len_base + 1, pidx)
                         pword_idx = pidx >> 1
                         phalf = pidx & 1
                         pword = jnp.where(pword_idx == pw0i, pw0w, uw)
@@ -823,11 +953,31 @@ def decode_segments_vmem2(
                         node = jnp.where(ca_mask, N_LIT, node)
                         acc = jnp.where(ca_mask, 1, acc)
                         lit_ctx = jnp.where(ca_mask, lit_state0, lit_ctx)
+                        # chains G/H tree starts: the len_choice(2) bit
+                        # just decoded 0 — enter the low/mid tree NOW so
+                        # j=1 consumes its first bit via the prefetched
+                        # pair (generic tree continuation)
+                        fir_g0 = okj & sel_g & (bit == 0)
+                        node = jnp.where(fir_g0, N_LEN_TREE, node)
+                        tmp = jnp.where(fir_g0, lc_low, tmp)
+                        fir_h = okj & sel_h & (bit == 0)
+                        node = jnp.where(fir_h, N_LEN_TREE, node)
+                        tmp = jnp.where(fir_h, lc_mid, tmp)
+                        gh = fir_g0 | fir_h
+                        cnt = jnp.where(gh, 3, cnt)
+                        acc = jnp.where(gh, 1, acc)
+                        rev = jnp.where(fir_g0, 0, jnp.where(fir_h, 8, rev))
                 elif cfg.TB == 2:
                     cb_mask = okj & cb_sel
                     bitB = bit
                     d_mask = okj & d_live
                     bitD = bit
+                    fir_e = okj & e_live
+                    fir_f = okj & f_live
+                    fir_q = okj & q_live
+                    fir_o = okj & o_live
+                    fir_g1 = okj & g1_live
+                    bit2 = bit  # the shared second control bit
 
             bit = bit0  # control handlers consume the first bit
             ok = node != N_ERROR
@@ -881,26 +1031,28 @@ def decode_segments_vmem2(
             lit_emit = (acc - 0x100) & 0xFF
             state = jnp.where(done_lit, _after_lit(state), state)
 
-            # --- N_ISREP --------------------------------------------------
-            m = ok & (node0 == N_ISREP)
-            m0 = m & (bit == 0)
+            # --- N_ISREP (merged: chain E rode is_match=1's j=1) ----------
+            rep_bit = jnp.where(fir_e, bit2, bit)
+            m = ok & ((node0 == N_ISREP) | fir_e)
+            m0 = m & (rep_bit == 0)
             rep3 = jnp.where(m0, rep2, rep3)
             rep2 = jnp.where(m0, rep1, rep2)
             rep1 = jnp.where(m0, rep0, rep1)
             len_rep = jnp.where(m0, 0, len_rep)
             node = jnp.where(m0, N_LEN_CHOICE, node)
-            node = jnp.where(m & (bit == 1), N_ISREPG0, node)
+            node = jnp.where(m & (rep_bit == 1), N_ISREPG0, node)
 
             # --- N_ISREPG0 ------------------------------------------------
             m = ok & (node0 == N_ISREPG0)
             node = jnp.where(m & (bit == 0), N_ISREP0LONG, node)
             node = jnp.where(m & (bit == 1), N_ISREPG1, node)
 
-            # --- N_ISREP0LONG --------------------------------------------
-            m = ok & (node0 == N_ISREP0LONG)
-            short = m & (bit == 0)
+            # --- N_ISREP0LONG (merged: chain Q rode is_rep_g0=0's j=1) ----
+            ol_bit = jnp.where(fir_q, bit2, bit)
+            m = ok & ((node0 == N_ISREP0LONG) | fir_q)
+            short = m & (ol_bit == 0)
             state = jnp.where(short, _after_shortrep(state), state)
-            long0 = m & (bit == 1)
+            long0 = m & (ol_bit == 1)
             len_rep = jnp.where(long0, 1, len_rep)
             node = jnp.where(long0, N_LEN_CHOICE, node)
 
@@ -926,20 +1078,30 @@ def decode_segments_vmem2(
             len_rep = jnp.where(m, 1, len_rep)
             node = jnp.where(m, N_LEN_CHOICE, node)
 
-            # --- N_LEN_CHOICE ---------------------------------------------
-            m = ok & (node0 == N_LEN_CHOICE)
-            low = m & (bit == 0)
-            tmp = jnp.where(low, len_base + L_LOW + pos_state * 8, tmp)
+            # --- N_LEN_CHOICE (merged: chains F/O delivered the choice
+            # bit at j=1; chains G0/G1 consumed it at j=0 — skip) --------
+            lc_bit = jnp.where(fir_f | fir_o, bit2, bit)
+            lc_base = jnp.where(
+                fir_f, H_LEN, jnp.where(fir_o, H_REP_LEN, len_base)
+            )
+            m = ok & (
+                ((node0 == N_LEN_CHOICE) & ~fir_g0 & ~fir_g1)
+                | fir_f | fir_o
+            )
+            low = m & (lc_bit == 0)
+            tmp = jnp.where(low, lc_base + L_LOW + pos_state * 8, tmp)
             cnt = jnp.where(low, 3, cnt)
             acc = jnp.where(low, 1, acc)
             rev = jnp.where(low, 0, rev)  # rev doubles as len_add
             node = jnp.where(low, N_LEN_TREE, node)
-            node = jnp.where(m & (bit == 1), N_LEN_CHOICE2, node)
+            node = jnp.where(m & (lc_bit == 1), N_LEN_CHOICE2, node)
 
-            # --- N_LEN_CHOICE2 --------------------------------------------
-            m = ok & (node0 == N_LEN_CHOICE2)
-            mid = m & (bit == 0)
-            high = m & (bit == 1)
+            # --- N_LEN_CHOICE2 (merged: chain G1 decoded it at j=1 from
+            # j0's own pword; chain H consumed its bit at j=0 — skip) ----
+            lc2_bit = jnp.where(fir_g1, bit2, bit)
+            m = ok & (((node0 == N_LEN_CHOICE2) & ~fir_h) | fir_g1)
+            mid = m & (lc2_bit == 0)
+            high = m & (lc2_bit == 1)
             tmp = jnp.where(mid, len_base + L_MID + pos_state * 8, tmp)
             tmp = jnp.where(high, len_base + L_HIGH, tmp)
             cnt = jnp.where(mid, 3, jnp.where(high, 8, cnt))
@@ -974,7 +1136,7 @@ def decode_segments_vmem2(
             dist = jnp.where(big, base_dist, dist)
             midrange = big & (pos_slot < 14)
             tmp = jnp.where(
-                midrange, H_SPEC_POS + (base_dist - pos_slot), tmp
+                midrange, H_SPEC_POS + (base_dist - 4), tmp
             )
             cnt = jnp.where(midrange, ndirect, cnt)
             acc = jnp.where(midrange, 1, acc)

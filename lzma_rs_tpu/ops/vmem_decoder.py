@@ -122,13 +122,16 @@ def hot_layout(nps: int) -> dict:
     take("is_rep_g2", 12)
     take("is_rep_0long", 12 * nps)
     take("pos_slot", 4 * 64)
-    # 115 live entries + 1 pad: keeps every following tree base EVEN so
-    # that the two candidate entries for a second tree bit (base+2*acc,
-    # base+2*acc+1) always share one packed word — the gen-2 TB=2 pair
-    # prefetch reads them with a single traversal (vmem2_decoder.py).
-    # spec_pos itself has mixed-parity walk bases (base_dist - pos_slot)
-    # and is decoded one bit per step there.
-    take("spec_pos", 116)
+    # The kernels place slot s's reverse tree at offset base_dist - 4
+    # instead of the reference's packed base_dist - pos_slot: every
+    # subtree base is then EVEN (closed form — for base = (2|(s&1))<<nd
+    # the even-aligned cumulative offset IS base-4), so the TB=2 pair
+    # prefetch covers spec_pos second bits too (the two candidates
+    # base+2*acc, base+2*acc+1 share one packed word). Still bijective
+    # and non-overlapping; costs 123 (+1 pad) entries instead of 115.
+    # The table is kernel-private (init-only), so the arrangement is
+    # free to differ from the reference layout.
+    take("spec_pos", 124)
     take("align", 16)
     len_size = 2 + nps * 8 * 2 + 256  # choice, choice2, low, mid, high
     take("len", len_size)
@@ -621,7 +624,7 @@ def decode_segments_vmem(
             dist = jnp.where(big, base_dist, dist)
             midrange = big & (pos_slot < 14)
             tmp = jnp.where(
-                midrange, H_SPEC_POS + (base_dist - pos_slot), tmp
+                midrange, H_SPEC_POS + (base_dist - 4), tmp
             )
             cnt = jnp.where(midrange, ndirect, cnt)
             acc = jnp.where(midrange, 1, acc)

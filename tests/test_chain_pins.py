@@ -85,7 +85,7 @@ class TestChainPins:
         assert baseline / len(_corpus()) < 3.0, baseline
 
     @pytest.mark.parametrize(
-        "chain", ["chainA", "chainB", "chainC", "chainD", "m8"]
+        "chain", ["chainA", "chainB", "chainC", "chainD", "chainL", "m8"]
     )
     def test_chain_fires(self, chain, baseline):
         ablated = _steps(chain)

@@ -348,10 +348,50 @@ _ARCS_PATH = os.path.join(
 )
 
 
+def _structure_seeds():
+    """Structure-aware seeds (VERDICT r4 item 3): archives whose shapes
+    hit the decode paths plain mutation almost never constructs — the
+    classes that actually bit the kernel in rounds 4-5:
+
+    - dist == RING (2048) copies with every byte-in-word phase (the
+      round-4 ring-aliasing regression shape);
+    - long word-aligned matches at dist % 4 == 0 and RLE dists 1/2/3
+      (the m8 8-byte copy path and copy-end chains C/D);
+    - literal-run/match alternations at match-length edges 8/9 (chain
+      ladder firing boundaries);
+    - every check method including SHA-256 (the documented intentional
+      superset, formats/xz.py).
+    """
+    seeds = []
+    # ring-edge pages, phase-shifted
+    page = bytes((i * 73 + 5) & 0xFF for i in range(2048))
+    for shift in (0, 1, 3):
+        seeds.append(lzma_rs_tpu.xz_compress(
+            (b"x" * shift + page * 5)[:9000], tpu_profile=True,
+            check_method=1,
+        ))
+    # aligned long matches + RLE runs + length edges
+    p64 = bytes((i * 29 + 7) & 0xFF for i in range(64))
+    chunks = [p64 * 40]
+    for n in (8, 9, 16, 33):
+        chunks.append(bytes(range(1, 13)) * 4)
+        chunks.append(b"." * n)
+    chunks.append(b"\x00" * 900 + b"ab" * 400 + b"xyz" * 130)
+    seeds.append(lzma_rs_tpu.xz_compress(
+        b"".join(chunks), tpu_profile=True, check_method=1
+    ))
+    # check-method corners (0 none, 1 crc32, 4 crc64, 10 sha256)
+    body = read_ref("foo.txt")[:4000]
+    for cm in (0, 4, 10):
+        seeds.append(lzma_rs_tpu.xz_compress(body, check_method=cm))
+    return seeds
+
+
 class _ArcTracker:
-    """Line-granularity coverage over the spec decode modules via
-    sys.monitoring (PEP 669): ~2-3x tracing overhead, cheap enough for
-    the nightly budget."""
+    """Edge-granularity coverage over the spec decode modules via
+    sys.monitoring (PEP 669): LINE events plus BRANCH source->dest arcs,
+    so a revisited line via a new branch still counts as exploration
+    (the round-4 line-only tier saturated after one run)."""
 
     def __init__(self):
         self.current = set()
@@ -372,6 +412,10 @@ class _ArcTracker:
         mon.register_callback(
             self.TOOL, mon.events.LINE, self._on_line
         )
+        mon.register_callback(
+            self.TOOL, mon.events.BRANCH, self._on_branch
+        )
+        self._events = mon.events.LINE | mon.events.BRANCH
 
     def _on_line(self, code, line):
         fn = code.co_filename
@@ -381,11 +425,19 @@ class _ArcTracker:
                 return
         return _sys.monitoring.DISABLE
 
+    def _on_branch(self, code, src, dst):
+        fn = code.co_filename
+        for suffix in _COV_MODULES:
+            if fn.endswith(suffix):
+                self.current.add(f"{suffix}:b{src}>{dst}")
+                return
+        return _sys.monitoring.DISABLE
+
     def run(self, fn):
         """Run fn() with tracing; returns the arc set it touched."""
         self.current = set()
         mon = _sys.monitoring
-        mon.set_events(self.TOOL, mon.events.LINE)
+        mon.set_events(self.TOOL, self._events)
         # per-code-object DISABLE sticks until events are restarted
         mon.restart_events()
         try:
@@ -422,7 +474,9 @@ class TestCoverageGuidedNightly:
 
         tracker = _ArcTracker()
         try:
-            seeds = _xz_seed_cases() + _corpus_cases()
+            seeds = (
+                _xz_seed_cases() + _structure_seeds() + _corpus_cases()
+            )
             # warm: replay seeds so only genuinely new arcs count
             for s in seeds:
                 known |= tracker.run(lambda: _spec_xz_decode(s))
@@ -457,6 +511,116 @@ class TestCoverageGuidedNightly:
             _json.dump(sorted(known), f)
         print(
             f"coverage fuzz: {cases} cases, arcs {start_arcs} -> "
+            f"{len(known)} (+{kept} corpus seeds)"
+        )
+        assert not failures, f"seed {seed}: {failures}"
+
+
+# --- native-engine edge coverage (round 5) ----------------------------
+#
+# The production host path is the C++ engine; round 4's coverage tier
+# instrumented only the Python spec, so the native decoder ran fuzz
+# inputs blind (VERDICT r4 missing #1). This tier runs mutants against
+# the -fsanitize-coverage=trace-pc build (native/cov_runtime.cpp) and
+# keeps arc-novel cases, persisting the cumulative native arc set keyed
+# by the instrumented build's hash (arc ids are code offsets — valid
+# only within one build).
+
+_NARCS_PATH = os.path.join(
+    os.path.dirname(_ARCS_PATH), "native_arcs.json"
+)
+
+
+def _native_lzma2_seeds():
+    text = read_ref("foo.txt")[:8000]
+    seeds = [
+        lzma_rs_tpu.lzma2_compress(text, level=6),
+        lzma_rs_tpu.lzma2_compress(text, level=0),
+        lzma_rs_tpu.lzma2_compress(text, level=6, dist_cap=512,
+                                   props=0 + 9 * (0 + 5 * 2)),
+        liblzma.compress(text, format=liblzma.FORMAT_RAW,
+                         filters=[{"id": liblzma.FILTER_LZMA2,
+                                   "preset": 6}]),
+    ]
+    # structure shapes: ring-distance pages, aligned long matches, RLE
+    page = bytes((i * 73 + 5) & 0xFF for i in range(2048))
+    p64 = bytes((i * 29 + 7) & 0xFF for i in range(64))
+    for body in (
+        (page * 4)[:7000],
+        p64 * 100 + b"\x00" * 800 + b"ab" * 300,
+    ):
+        seeds.append(lzma_rs_tpu.lzma2_compress(body, level=6))
+    return seeds
+
+
+@pytest.mark.slow
+class TestNativeCoverageGuidedNightly:
+    def test_native_edge_coverage_guided(self):
+        cov = loader.load_instrumented()
+        if cov is None:
+            pytest.skip("instrumented native build unavailable")
+        import ctypes
+
+        lib = cov._lib
+
+        def decode(case: bytes):
+            out = ctypes.c_void_p()
+            n = ctypes.c_size_t()
+            consumed = ctypes.c_size_t()
+            err = ctypes.create_string_buffer(256)
+            lib.lrt_lzma2_decode(
+                bytes(case), len(case), 0, ctypes.byref(out),
+                ctypes.byref(n), ctypes.byref(consumed), err,
+            )
+            if out.value:
+                lib.lrt_free(out)
+
+        minutes = float(os.environ.get("LZMA_RS_TPU_FUZZ_MINUTES", "3")) / 3
+        seed = int(os.environ.get(
+            "LZMA_RS_TPU_FUZZ_SEED",
+            str(random.SystemRandom().randrange(1 << 48)),
+        ))
+        print(f"native coverage fuzz seed: {seed}")
+        rng = random.Random(seed)
+
+        build = cov.build_id()
+        known = set()
+        if os.path.exists(_NARCS_PATH):
+            saved = _json.load(open(_NARCS_PATH))
+            if saved.get("build") == build:
+                known = set(saved["arcs"])
+        start_arcs = len(known)
+
+        seeds = _native_lzma2_seeds()
+        for s in seeds:
+            known |= cov.cov_run(lambda: decode(s))
+
+        deadline = time.monotonic() + minutes * 60
+        kept = cases = 0
+        failures = []
+        while time.monotonic() < deadline and len(failures) <= 5:
+            for s in seeds:
+                for case in _mutations(rng, s, 20, stacked=True):
+                    cases += 1
+                    arcs = cov.cov_run(lambda: decode(case))
+                    new = arcs - known
+                    if new:
+                        known |= new
+                        kept += 1
+                        path = _save_to_corpus(case, "ncov")
+                        # arc-novel cases must still satisfy the
+                        # native-vs-spec differential contract
+                        why = _native_vs_spec_lzma2(case)
+                        if why:
+                            failures.append(f"{path}: {why}")
+                if time.monotonic() >= deadline:
+                    break
+
+        os.makedirs(os.path.dirname(_NARCS_PATH), exist_ok=True)
+        with open(_NARCS_PATH, "w") as f:
+            _json.dump({"build": build, "arcs": sorted(known)}, f)
+        print(
+            f"native coverage fuzz: {cases} cases, arcs {start_arcs} -> "
             f"{len(known)} (+{kept} corpus seeds)"
         )
         assert not failures, f"seed {seed}: {failures}"
