@@ -678,6 +678,12 @@ def decode_segments_vmem2(
                     g1_live = sel_g & (bit0 == 1)
                     cont = (
                         ((node == N_LIT) & ~litm0 & (acc < 0x100))
+                        # matched literals pair too (round 5): j1's
+                        # match bit is known at j0 from the mbyte
+                        # register, so the prefetched pair covered the
+                        # right subtree; a j0 mismatch DROPPED the lane
+                        # to N_LIT (wrong pair — stay idle at j1)
+                        | ((node == N_LITM) & litm0 & (acc < 0x100))
                         | (((node == N_LEN_TREE) | (node == N_POSSLOT)
                             | (node == N_SPECPOS)
                             | (node == N_ALIGN) | is_direct_j)
@@ -748,6 +754,17 @@ def decode_segments_vmem2(
                         pair_lit = jnp.clip(
                             lit_ctx * LIT_ROW + acc2, 0, LIT_W - 2
                         )
+                        # matched-literal pair: j1's subtree selector is
+                        # the NEXT match bit — bit 6 of the current
+                        # mbyte (bit 7 is j0's) — known now; its two
+                        # candidates (1+mb)<<8 | 2*acc | {0,1} are
+                        # adjacent. Valid only if j0 does NOT mismatch-
+                        # drop to the plain tree (cont handles that).
+                        mb1 = (mbyte >> 6) & 1
+                        pair_litm = jnp.clip(
+                            lit_ctx * LIT_ROW + ((1 + mb1) << 8) + acc2,
+                            0, LIT_W - 2,
+                        )
                         # chain A: is_match (state<7) may start a plain
                         # literal at j=1 — its first tree entry is
                         # row + 1. chain B: a literal whose 8th bit
@@ -816,10 +833,13 @@ def decode_segments_vmem2(
                             jnp.where(
                                 node == N_LIT, HOT_W + pair_lit,
                                 jnp.where(
-                                    ca_cand, HOT_W + pair_start,
+                                    node == N_LITM, HOT_W + pair_litm,
                                     jnp.where(
-                                        copy_fin, H_IS_REP + state,
-                                        ladder_idx,
+                                        ca_cand, HOT_W + pair_start,
+                                        jnp.where(
+                                            copy_fin, H_IS_REP + state,
+                                            ladder_idx,
+                                        ),
                                     ),
                                 ),
                             ),
@@ -1201,7 +1221,12 @@ def decode_segments_vmem2(
             dist = jnp.where(good, sc_dist, dist)
 
             # -------- Stage D: copy lanes move up to 4 bytes ---------------
-            m = node0 == N_COPY
+            # Copy-start fusion (round 5): the distance-finish section
+            # above runs BEFORE this stage, so a match that completed its
+            # distance THIS step (`good`) moves its first bytes now — a
+            # shortrep completes in the same step as its control bits —
+            # instead of burning a whole step entering N_COPY.
+            m = (node0 == N_COPY) | good
             over = m & (outp >= outend) & (length > 0)
             err = jnp.where(over & (err == ERR_NONE), ERR_SIZE, err)
             node = jnp.where(over, N_ERROR, node)
@@ -1341,7 +1366,7 @@ def decode_segments_vmem2(
             node = jnp.where(insta_done, N_CHUNK, node)
 
             # -------- shared window READ port (one traversal per step) ----
-            is_copy = node0 == N_COPY
+            is_copy = (node0 == N_COPY) | good  # incl. fused copy starts
             is_chunkn = node0 == N_CHUNK
             port_pos = jnp.where(
                 is_copy, outp_w - dist,
