@@ -2358,10 +2358,13 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       uint32_t lmax = uint32_t(l);
       const uint64_t rep_head = c + enc.price_rep_head(st, r, ps);
       const uint32_t* lp_rep = wp.len_p[1][ps];
-      for (uint32_t len = 2; len <= 12 && len <= lmax; len++)
+      // dense rep-length relaxation (round 5): the O(leaves) WinPrices
+      // build made per-length pricing nearly free, and lens 13..24 are
+      // common on text — rep<=12 left ~0.3% ratio on the table
+      for (uint32_t len = 2; len <= 24 && len <= lmax; len++)
         relax(size_t(i) + len, rep_head + lp_rep[len - 2], 2,
               uint16_t(len), uint32_t(d), r);
-      if (lmax > 12)
+      if (lmax > 24)
         relax(size_t(i) + lmax, rep_head + lp_rep[lmax - 2], 2,
               uint16_t(lmax), uint32_t(d), r);
     }
@@ -2377,7 +2380,7 @@ static size_t optimal_parse_emit(const uint8_t* block, size_t start,
       // each pareto candidate prices the length range its predecessor
       // could not reach (nearer candidates are cheaper for short lens)
       uint32_t lo = prev_len + 1 < 2 ? 2 : prev_len + 1;
-      uint32_t hi = std::min(ml, lo + 14);
+      uint32_t hi = std::min(ml, lo + 30);
       for (uint32_t len = lo; len <= hi; len++)
         relax(size_t(i) + len,
               match_head + lp_m[len - 2] + wp.dist(len - 2, md - 1),

@@ -31,12 +31,14 @@ from conftest import read_ref
 # text is within 0.5% at 6/9 and beats liblzma at 1/4.
 # (r3: foo 6 was 1.020; bt4+DP era: 1.028; hash-chain era: 1.065.)
 RATIO_PINS = {
-    ("foo.txt", 1): 1.005,
-    ("foo.txt", 4): 1.000,
-    ("foo.txt", 6): 1.005,
-    ("foo.txt", 9): 1.005,
-    ("range-coder-edge-case", 1): 1.042,
-    ("range-coder-edge-case", 4): 0.999,
+    # round-5 (dense rep/match length relaxation): foo L6/L9 1.0041,
+    # L1/L4 beat liblzma; pins sit just above the measured values
+    ("foo.txt", 1): 0.996,
+    ("foo.txt", 4): 0.996,
+    ("foo.txt", 6): 1.0045,
+    ("foo.txt", 9): 1.0045,
+    ("range-coder-edge-case", 1): 1.033,
+    ("range-coder-edge-case", 4): 0.995,
     ("range-coder-edge-case", 6): 1.000,
     ("range-coder-edge-case", 9): 1.0005,
 }
