@@ -629,12 +629,22 @@ def decode_segments_vmem2(
             #      bit1 -> len_choice2 (lives in j0's OWN pword — len
             #      bases are even, hot_layout)
             #   H: len_choice2 bit0       -> first mid-tree bit
+            #   R: direct bits' last step -> first align bit (the align
+            #      tree start is a FIXED entry; direct lanes never use
+            #      the pair slot otherwise)
+            #   P: len tree's last step -> first pos_slot bit, when
+            #      len_state is already determined (mid tree: always 3;
+            #      low tree with acc >= 6: lval >= 4 either way)
             sel_e = ca_mask
             sel_f = ca_mask
             sel_q = ca_mask
             sel_o = ca_mask
             sel_g = ca_mask
             sel_h = ca_mask
+            sel_r = ca_mask
+            sel_p = ca_mask
+            fir_r = ca_mask
+            fir_p = ca_mask
             fir_e = ca_mask
             fir_f = ca_mask
             fir_q = ca_mask
@@ -809,6 +819,17 @@ def decode_segments_vmem2(
                             sel_o = node == N_ISREP0LONG
                             sel_g = node == N_LEN_CHOICE
                             sel_h = node == N_LEN_CHOICE2
+                            sel_r = (node == N_DIRECT) & (cnt == 1)
+                            # len tree's final bit at j0 with len_state
+                            # already fixed: mid tree (rev==8 => lval
+                            # >= 8) always; low tree (rev==0) only when
+                            # acc >= 6 (lval >= 4 either way). rev==16
+                            # is the 8-bit high tree: it ends at j1.
+                            sel_p = (
+                                (node == N_LEN_TREE) & (cnt == 1)
+                                & (len_rep == 0)
+                                & ((rev == 8) | ((rev == 0) & (acc >= 6)))
+                            )
                         ladder_idx = jnp.where(
                             sel_e, H_IS_REP + state,
                             jnp.where(
@@ -821,7 +842,14 @@ def decode_segments_vmem2(
                                             sel_g, lc_low + 1,
                                             jnp.where(
                                                 sel_h, lc_mid + 1,
-                                                pair_hot,
+                                                jnp.where(
+                                                    sel_r, H_ALIGN + 1,
+                                                    jnp.where(
+                                                        sel_p,
+                                                        H_POS_SLOT + 193,
+                                                        pair_hot,
+                                                    ),
+                                                ),
                                             ),
                                         ),
                                     ),
@@ -859,7 +887,7 @@ def decode_segments_vmem2(
                         # shares the word j0 just read and updated.
                         zero_off = (
                             cb_sel | d_sel | sel_e | sel_f | sel_q
-                            | sel_o | sel_g | sel_h
+                            | sel_o | sel_g | sel_h | sel_r | sel_p
                         )
                         pidx = pair_idx + jnp.where(zero_off, 0, bit0)
                         pidx = jnp.where(g1_live, len_base + 1, pidx)
@@ -987,6 +1015,28 @@ def decode_segments_vmem2(
                         cnt = jnp.where(gh, 3, cnt)
                         acc = jnp.where(gh, 1, acc)
                         rev = jnp.where(fir_g0, 0, jnp.where(fir_h, 8, rev))
+                        # chain R: the last direct bit landed at j0 —
+                        # enter the align tree now (its start entry is
+                        # the prefetched pair); dist takes the complete
+                        # direct accumulator
+                        fir_r = okj & sel_r
+                        node = jnp.where(fir_r, N_ALIGN, node)
+                        dist = jnp.where(fir_r, dist + (acc << 4), dist)
+                        tmp = jnp.where(fir_r, H_ALIGN, tmp)
+                        mbyte = jnp.where(fir_r, 1, mbyte)
+                        # chain P: the len tree finished at j0 with
+                        # len_state pinned at 3 — enter pos_slot now
+                        fir_p = okj & sel_p
+                        node = jnp.where(fir_p, N_POSSLOT, node)
+                        length = jnp.where(fir_p, rev + acc - 8, length)
+                        state = jnp.where(
+                            fir_p, _after_match(state), state
+                        )
+                        tmp = jnp.where(fir_p, H_POS_SLOT + 192, tmp)
+                        rp_ = fir_r | fir_p
+                        cnt = jnp.where(fir_r, 4, jnp.where(fir_p, 6, cnt))
+                        acc = jnp.where(rp_, 1, acc)
+                        rev = jnp.where(fir_r, 0, rev)
                 elif cfg.TB == 2:
                     cb_mask = okj & cb_sel
                     bitB = bit
