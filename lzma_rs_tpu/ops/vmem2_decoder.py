@@ -96,8 +96,13 @@ _SLOTS = (
     "length", "dist", "mbyte", "prevb", "tile_base",
     "pw0i", "pw0w", "pw1i", "pw1w", "wwi", "www", "pubi", "pubw",
     "pub2i", "pub2w",
+    # LIT4-only pendings last: the scratch excludes these rows (and the
+    # carry excludes the values) when the lit slots are off, keeping the
+    # default graph byte-identical to the pre-LIT4 kernel
+    "pw2i", "pw2w", "pw3i", "pw3w",
 )
 NSLOT = len(_SLOTS)
+NSLOT_BASE = NSLOT - 4
 _OUTP_SLOT = _SLOTS.index("outp")
 _INP_SLOT = _SLOTS.index("inp")
 _META_SLOT = _SLOTS.index("meta")
@@ -107,6 +112,10 @@ _PW0I_SLOT = _SLOTS.index("pw0i")
 _PW0W_SLOT = _SLOTS.index("pw0w")
 _PW1I_SLOT = _SLOTS.index("pw1i")
 _PW1W_SLOT = _SLOTS.index("pw1w")
+_PW2I_SLOT = _SLOTS.index("pw2i")
+_PW2W_SLOT = _SLOTS.index("pw2w")
+_PW3I_SLOT = _SLOTS.index("pw3i")
+_PW3W_SLOT = _SLOTS.index("pw3w")
 _WWI_SLOT = _SLOTS.index("wwi")
 _WWW_SLOT = _SLOTS.index("www")
 _PUBI_SLOT = _SLOTS.index("pubi")
@@ -139,6 +148,12 @@ class KernelConfig2(KernelConfig):
     #: scheme ring mode always uses) instead of paying the O(W/4)
     #: old-word read-modify-write traversal each step.
     GAPFREE: int = 0
+    #: 1 = two extra LIT-ONLY bit slots per step (j=2,3): literal lanes
+    #: decode up to four tree bits per step, and the extra slots'
+    #: probability reads traverse ONLY the literal region (LIT_W/2
+    #: words) instead of the full table. Requires TB=2 and a TILE
+    #: covering 4 bytes/step of renormalization input.
+    LIT4: int = 0
 
     def __post_init__(self):
         super().__post_init__()
@@ -152,12 +167,15 @@ class KernelConfig2(KernelConfig):
             "(hardware lane tiles) or <= 128 (interpret-mode tests)"
         )
         assert self.TB in (1, 2)
+        assert not (self.LIT4 and self.TB != 2), "LIT4 requires TB=2"
         # The input-lookahead tile must cover a full maintenance period's
-        # worst-case consumption (TB bytes/step, one renormalization per
-        # bit) plus row-alignment slack and the chunk-setup margin.
-        assert self.TILE - 128 >= self.TB * self.MAINT + 16, (
-            f"TILE={self.TILE} too small for TB={self.TB} x MAINT="
-            f"{self.MAINT} (need >= {128 + self.TB * self.MAINT + 16})"
+        # worst-case consumption (bytes/step = bits/step, one
+        # renormalization per bit) plus row-alignment slack and the
+        # chunk-setup margin.
+        bps = 4 if self.LIT4 else self.TB
+        assert self.TILE - 128 >= bps * self.MAINT + 16, (
+            f"TILE={self.TILE} too small for {bps} bytes/step x MAINT="
+            f"{self.MAINT} (need >= {128 + bps * self.MAINT + 16})"
         )
 
 
@@ -241,6 +259,10 @@ def decode_segments_vmem2(
     # headroom. Interpret mode takes the same path (the interpreter
     # emulates the DMA epilogue) so CPU tests cover it.
     HBM_WIN = (not cfg.RING) and bool(cfg.GAPFREE)
+    # LIT4-only state rows live past the base layout; without the lit
+    # slots the scratch (and the while-carry) is identical to the
+    # pre-LIT4 kernel
+    NSLOT_EFF = NSLOT if cfg.LIT4 else NSLOT_BASE
     TILE_WORDS = TILE // 4
     ROW_WORDS = 32  # 128 bytes per input row
 
@@ -359,21 +381,49 @@ def decode_segments_vmem2(
                     mk(idx), _tile_lane(val)[None], table_ref[:]
                 )
         def fold_blend2_read2(
-            table_ref, b0i, b0v, b1i, b1v, r0i, r1i, nrows, f
+            table_ref, pend, r0i, r1i, nrows, f
         ):
-            """One traversal over ``table_ref``: retire TWO pending
-            word writes (newest outermost, negative index = none) and
-            read TWO words from the blended view. Replaces the TB=2 j0
-            probability path's separate fold_blend + 2x fold_read —
-            three full table passes — with one; the prob table is the
-            single largest per-step traversal (NLIT tables dominate
-            rows), so the riders are the round-5 flagship lever."""
+            """One traversal over ``table_ref``: retire the pending
+            word writes in ``pend`` (list of (idx, val), NEWEST LAST,
+            negative index = none) and read TWO words from the blended
+            view. Replaces the TB=2 j0 probability path's separate
+            fold_blend + 2x fold_read — three full table passes — with
+            one; the prob table is the single largest per-step
+            traversal (NLIT tables dominate rows)."""
             if f == 1:
                 rows = jax.lax.broadcasted_iota(_I32, (nrows, S, M), 0)
-                blended = jnp.where(
-                    rows == b1i[None], b1v[None],
-                    jnp.where(rows == b0i[None], b0v[None], table_ref[:]),
-                )
+                # Nested selects NEWEST-OUTERMOST, inlined so the trace
+                # is byte-identical to the round-4 expression (even an
+                # extra inner-function NAME in the MLIR location
+                # metadata perturbed Mosaic's schedule: the loop-built
+                # variant measured 5.72 -> 6.38 us/step on identical
+                # jaxprs).
+                if len(pend) == 0:
+                    blended = table_ref[:]
+                elif len(pend) == 2:
+                    (b0i, b0v), (b1i, b1v) = pend
+                    blended = jnp.where(
+                        rows == b1i[None], b1v[None],
+                        jnp.where(
+                            rows == b0i[None], b0v[None], table_ref[:]
+                        ),
+                    )
+                else:
+                    ((b0i, b0v), (b1i, b1v),
+                     (b2i, b2v), (b3i, b3v)) = pend
+                    blended = jnp.where(
+                        rows == b3i[None], b3v[None],
+                        jnp.where(
+                            rows == b2i[None], b2v[None],
+                            jnp.where(
+                                rows == b1i[None], b1v[None],
+                                jnp.where(
+                                    rows == b0i[None], b0v[None],
+                                    table_ref[:],
+                                ),
+                            ),
+                        ),
+                    )
                 table_ref[:] = blended
                 r0 = jnp.sum(
                     jnp.where(rows == r0i[None], blended, 0), axis=0
@@ -390,10 +440,31 @@ def decode_segments_vmem2(
                 lo = subi_f == _tile_lane(i & (f - 1))
                 return (rows == hi[None]) & lo[None]
 
-            blended = jnp.where(
-                mk(b1i), _tile_lane(b1v)[None],
-                jnp.where(mk(b0i), _tile_lane(b0v)[None], table_ref[:]),
-            )
+            if len(pend) == 0:
+                blended = table_ref[:]
+            elif len(pend) == 2:
+                (b0i, b0v), (b1i, b1v) = pend
+                blended = jnp.where(
+                    mk(b1i), _tile_lane(b1v)[None],
+                    jnp.where(
+                        mk(b0i), _tile_lane(b0v)[None], table_ref[:]
+                    ),
+                )
+            else:
+                ((b0i, b0v), (b1i, b1v), (b2i, b2v), (b3i, b3v)) = pend
+                blended = jnp.where(
+                    mk(b3i), _tile_lane(b3v)[None],
+                    jnp.where(
+                        mk(b2i), _tile_lane(b2v)[None],
+                        jnp.where(
+                            mk(b1i), _tile_lane(b1v)[None],
+                            jnp.where(
+                                mk(b0i), _tile_lane(b0v)[None],
+                                table_ref[:],
+                            ),
+                        ),
+                    ),
+                )
             table_ref[:] = blended
 
             def rd(ridx):
@@ -406,6 +477,40 @@ def decode_segments_vmem2(
                 return jnp.sum(picked.reshape(f, S, M), axis=0)
 
             return rd(r0i), rd(r1i)
+
+        LIT_W0 = HOT_W // 2          # first literal word (logical row)
+        LIT_ROWS = LIT_W // 2        # literal-region words
+
+        def lit_read2(l0, l1):
+            """Fused pair of one-hot reads over the LITERAL region only
+            (LOCAL word indices 0..LIT_ROWS): the lit-only bit slots
+            (j=2,3) pay a LIT_ROWS-row pass instead of the full table.
+            HOT_W is 16-padded and LIT_W0 % F_P == 0, so the region is
+            a clean static slice in both plain and folded layouts."""
+            base = LIT_W0 // F_P
+            R = LIT_ROWS // F_P
+            sl = prob_ref[base:base + R]
+            if F_P == 1:
+                rows = jax.lax.broadcasted_iota(_I32, (R, S, M), 0)
+                r0 = jnp.sum(
+                    jnp.where(rows == l0[None], sl, 0), axis=0
+                )
+                r1 = jnp.sum(
+                    jnp.where(rows == l1[None], sl, 0), axis=0
+                )
+                return r0, r1
+            rows = jax.lax.broadcasted_iota(_I32, (R, FS, M), 0)
+
+            def rd(idx):
+                hi = _tile_lane(idx >> FSH)
+                blk = jnp.sum(
+                    jnp.where(rows == hi[None], sl, 0), axis=0
+                )
+                lo = _tile_lane(idx & (F_P - 1))
+                picked = jnp.where(subi_f == lo, blk, 0)
+                return jnp.sum(picked.reshape(F_P, S, M), axis=0)
+
+            return rd(l0), rd(l1)
 
         def fold_blend_read(table_ref, bidx, bval, ridx, nrows, f):
             """Fused per-half publish + port read: ONE traversal blends
@@ -442,21 +547,24 @@ def decode_segments_vmem2(
             return jnp.sum(picked.reshape(f, S, M), axis=0)
 
         zt = jnp.zeros((S, M), _I32)
-        st_ref[:] = jnp.zeros((NSLOT, S, M), _I32)
+        st_ref[:] = jnp.zeros((NSLOT_EFF, S, M), _I32)
         st_ref[_NODE_SLOT] = zt + N_CHUNK
         st_ref[2] = zt - 1  # rng = 0xFFFFFFFF
         st_ref[_PW0I_SLOT] = zt - 1  # no pending prob writes
         st_ref[_PW1I_SLOT] = zt - 1
+        if cfg.LIT4:
+            st_ref[_PW2I_SLOT] = zt - 1
+            st_ref[_PW3I_SLOT] = zt - 1
         st_ref[_WWI_SLOT] = zt - 1  # no pending window/ring write
         st_ref[_PUBI_SLOT] = zt - 1  # no completed word awaiting publish
         st_ref[_PUB2I_SLOT] = zt - 1  # second publish slot (8-byte steps)
 
         def load_state():
-            return tuple(st_ref[i] for i in range(NSLOT))
+            return tuple(st_ref[i] for i in range(NSLOT_EFF))
 
         def store_state(t):
-            for i in range(NSLOT):
-                st_ref[i] = t[i]
+            for i, v in enumerate(t):
+                st_ref[i] = v
 
         def onehot_read_v(table, idx, width):
             """v[s,m] = table[idx[s,m], s, m]; values must be >= 0."""
@@ -530,10 +638,18 @@ def decode_segments_vmem2(
             # state tuple (values live in vregs between unrolled steps;
             # the inner loop loads/stores the slots once per UNROLL
             # group). Semantics identical to gen-1's step().
-            (node0, meta0, rng, cod, inp, inend, outp, outend, state,
-             rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
-             mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
-             wwi, www, pubi, pubw, pub2i, pub2w) = carry
+            if cfg.LIT4:
+                (node0, meta0, rng, cod, inp, inend, outp, outend, state,
+                 rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
+                 mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
+                 wwi, www, pubi, pubw, pub2i, pub2w,
+                 pw2i, pw2w, pw3i, pw3w) = carry
+            else:
+                (node0, meta0, rng, cod, inp, inend, outp, outend, state,
+                 rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length, dist,
+                 mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
+                 wwi, www, pubi, pubw, pub2i, pub2w) = carry
+                pw2i = pw2w = pw3i = pw3w = None
             err = meta0 & 15
             pending = (meta0 >> 4) & 3
             len_rep = (meta0 >> 6) & 1
@@ -663,14 +779,37 @@ def decode_segments_vmem2(
             # fetch both with one tile traversal instead of one per bit
             inp_step0 = inp
             ren_grp = in_group(inp - tile_base)
-            for j in range(cfg.TB):
+            # LIT4: two extra lit-only bit slots (j=2,3) whose reads
+            # traverse ONLY the literal region — literal lanes decode up
+            # to 4 bits/step while control lanes still pay the full-table
+            # passes just twice
+            NJ = (
+                4 if (cfg.LIT4 and cfg.TB == 2
+                      and "probread" not in _ABLATE
+                      and "lit4" not in _ABLATE)
+                else cfg.TB
+            )
+            for j in range(NJ):
                 is_lit_j = (node == N_LIT) | (node == N_LITM)
                 is_direct_j = node == N_DIRECT
                 is_cnt_j = (
                     (node == N_LEN_TREE) | (node == N_POSSLOT)
                     | (node == N_SPECPOS) | is_direct_j | (node == N_ALIGN)
                 )
-                if j == 0:
+                if j >= 2:
+                    # lit-only slots: literal-tree continuation. j=2
+                    # reads the table fresh (a LITM mismatch-drop at
+                    # j<=1 continues as plain N_LIT here); j=3 decodes
+                    # from j=2's prefetched pair, so lanes whose LITM
+                    # status changed AT j=2 (mismatch drop) idle
+                    active_j = is_lit_j & (acc < 0x100)
+                    if j == 3:
+                        active_j = active_j & (
+                            (node == N_LITM) == litm_j2
+                        )
+                    is_prob_act = active_j
+                    is_direct_act = active_j & ~active_j
+                elif j == 0:
                     is_direct_act = is_direct_j
                     is_prob_act = (node <= N_ALIGN) & ~is_direct_j
                     if cfg.TB == 2:
@@ -746,12 +885,17 @@ def decode_segments_vmem2(
                         # reads (fold_blend2_read2 below): the selects
                         # read the blended view, so no fix-ups needed
                         if "probwrite" not in _ABLATE:
-                            bl0i, bl1i = pw0i, pw1i
+                            # pw2/pw3 exist only when the LIT4 slots run
+                            # — never pay their blend passes otherwise
+                            pend = [(pw0i, pw0w), (pw1i, pw1w)]
                             pw0i = zt - 1
                             pw1i = zt - 1
+                            if NJ == 4:
+                                pend += [(pw2i, pw2w), (pw3i, pw3w)]
+                                pw2i = zt - 1
+                                pw3i = zt - 1
                         else:
-                            bl0i = zt - 1
-                            bl1i = zt - 1
+                            pend = []
                         # Pair prefetch: the SECOND bit's two candidate
                         # entries are (base + 2*acc, base + 2*acc + 1)
                         # for every even-base tree (len/pos_slot/align,
@@ -874,9 +1018,42 @@ def decode_segments_vmem2(
                         )
                         pair_word = pair_idx >> 1
                         pword, uw = fold_blend2_read2(
-                            prob_ref, bl0i, pw0w, bl1i, pw1w,
+                            prob_ref, pend,
                             pword_idx, pair_word, PROB_WORDS, F_P,
                         )
+                    elif j == 2:
+                        # lit-only slot: fresh reads over the literal
+                        # region alone; pair prefetch for j=3 (same
+                        # even-base adjacency as j0's). Register
+                        # fix-ups cover the rare cross-subtree word
+                        # collisions with this step's earlier updates.
+                        litm_j2 = node == N_LITM
+                        acc2l = acc << 1
+                        mb3 = (mbyte >> 6) & 1
+                        pair_l = jnp.where(
+                            litm_j2, ((1 + mb3) << 8) + acc2l, acc2l
+                        )
+                        pair_l = jnp.clip(
+                            lit_ctx * LIT_ROW + pair_l, 0, LIT_W - 2
+                        )
+                        pword_raw, uw2 = lit_read2(
+                            lit_idx >> 1, pair_l >> 1
+                        )
+                        pword = jnp.where(
+                            pword_idx == pw1i, pw1w,
+                            jnp.where(
+                                pword_idx == pw0i, pw0w, pword_raw
+                            ),
+                        )
+                        pair_word3 = (HOT_W + pair_l) >> 1
+                        uw2 = jnp.where(
+                            pair_word3 == pw1i, pw1w,
+                            jnp.where(pair_word3 == pw0i, pw0w, uw2),
+                        )
+                    elif j == 3:
+                        # entry = lit row + current acc — inside j=2's
+                        # prefetched pair word by construction
+                        pword = jnp.where(pword_idx == pw2i, pw2w, uw2)
                     else:
                         # j == 1: no table traversal — the prefetched
                         # pair word holds both candidates; bit1's own
@@ -921,9 +1098,15 @@ def decode_segments_vmem2(
                         if j == 0:
                             pw0i = jnp.where(is_prob_act, pword_idx, -1)
                             pw0w = new_pword
-                        else:
+                        elif j == 1:
                             pw1i = jnp.where(is_prob_act, pword_idx, -1)
                             pw1w = new_pword
+                        elif j == 2:
+                            pw2i = jnp.where(is_prob_act, pword_idx, -1)
+                            pw2w = new_pword
+                        else:
+                            pw3i = jnp.where(is_prob_act, pword_idx, -1)
+                            pw3w = new_pword
                     else:
                         fold_blend(
                             prob_ref,
@@ -955,9 +1138,15 @@ def decode_segments_vmem2(
                 err = jnp.where(eof & (err == ERR_NONE), ERR_EOF, err)
                 node = jnp.where(eof, N_ERROR, node)
                 do = need & can
-                byte_in = jnp.where(
-                    inp == inp_step0, ren_grp & 0xFF, (ren_grp >> 8) & 0xFF
-                ).astype(_U32)
+                if NJ == 4:
+                    byte_in = _extract_byte(
+                        ren_grp, jnp.clip(inp - inp_step0, 0, 3)
+                    ).astype(_U32)
+                else:
+                    byte_in = jnp.where(
+                        inp == inp_step0, ren_grp & 0xFF,
+                        (ren_grp >> 8) & 0xFF,
+                    ).astype(_U32)
                 rng_u = jnp.where(do, rng_u << 8, rng_u)
                 cod_u = jnp.where(do, (cod_u << 8) ^ byte_in, cod_u)
                 inp = jnp.where(do, inp + 1, inp)
@@ -1037,7 +1226,7 @@ def decode_segments_vmem2(
                         cnt = jnp.where(fir_r, 4, jnp.where(fir_p, 6, cnt))
                         acc = jnp.where(rp_, 1, acc)
                         rev = jnp.where(fir_r, 0, rev)
-                elif cfg.TB == 2:
+                elif j == 1 and cfg.TB == 2:
                     cb_mask = okj & cb_sel
                     bitB = bit
                     d_mask = okj & d_live
@@ -1375,7 +1564,8 @@ def decode_segments_vmem2(
 
             covered = (
                 (cin >= tile_base)
-                & (cin + 5 + cfg.TB * cfg.MAINT + 8 <= tile_base + TILE)
+                & (cin + 5 + (4 if cfg.LIT4 else cfg.TB) * cfg.MAINT + 8
+                   <= tile_base + TILE)
             )
             # Reset chunks park the lane (pending=1); the table blend runs
             # at the next maintenance boundary (same protocol as gen-1 —
@@ -1682,10 +1872,14 @@ def decode_segments_vmem2(
             meta = (err | (pending << 4) | (len_rep << 6)
                     | (lit_ctx << 7) | (lc << 10) | (lp << 14)
                     | (pb << 17) | (chunk_i << 20) | (imq << 26))
-            return (node, meta, rng, cod, inp, inend, outp, outend, state,
-                    rep0, rep1, rep2, rep3, acc, cnt, tmp, rev, length,
-                    dist, mbyte, prevb, tile_base, pw0i, pw0w, pw1i, pw1w,
-                    wwi, www, pubi, pubw, pub2i, pub2w)
+            out_t = (node, meta, rng, cod, inp, inend, outp, outend,
+                     state, rep0, rep1, rep2, rep3, acc, cnt, tmp, rev,
+                     length, dist, mbyte, prevb, tile_base,
+                     pw0i, pw0w, pw1i, pw1w,
+                     wwi, www, pubi, pubw, pub2i, pub2w)
+            if cfg.LIT4:
+                return out_t + (pw2i, pw2w, pw3i, pw3w)
+            return out_t
 
         def flush_pending_window():
             """Apply the deferred window/ring write held in the wwi/www
@@ -1815,6 +2009,14 @@ def decode_segments_vmem2(
                     PROB_WORDS, F_P,
                     idx2=st_ref[_PW1I_SLOT], val2=st_ref[_PW1W_SLOT],
                 )
+                if cfg.LIT4:
+                    fold_blend(
+                        prob_ref, st_ref[_PW2I_SLOT], st_ref[_PW2W_SLOT],
+                        PROB_WORDS, F_P,
+                        idx2=st_ref[_PW3I_SLOT], val2=st_ref[_PW3W_SLOT],
+                    )
+                    st_ref[_PW2I_SLOT] = jnp.zeros((S, M), _I32) - 1
+                    st_ref[_PW3I_SLOT] = jnp.zeros((S, M), _I32) - 1
                 neg1 = jnp.zeros((S, M), _I32) - 1
                 st_ref[_PW0I_SLOT] = neg1
                 st_ref[_PW1I_SLOT] = neg1
@@ -1925,7 +2127,7 @@ def decode_segments_vmem2(
         in_specs=[vspec, win_in_spec] + [vspec] * 5,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((NSLOT, S, M), jnp.int32),      # lane state slots
+            pltpu.VMEM((NSLOT_EFF, S, M), jnp.int32),  # lane state slots
             pltpu.VMEM((PROB_WORDS // F_P, F_P * S, M), jnp.int32),
             pltpu.VMEM((TILE_WORDS, S, M), jnp.int32),  # input lookahead
         ] + extra,

@@ -557,15 +557,24 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
     # grows to cover the doubled worst-case consumption per period.
     tb = int(os.environ.get("LZMA_RS_TPU_VMEM_TB", "2"))
     unroll = int(os.environ.get("LZMA_RS_TPU_VMEM_UNROLL", "2"))
-    # MAINT=120 fills TILE=384's refill budget exactly (128 + 2*120 + 16)
-    # and measured fastest in the round-4 sweep: 96.3 MB/s/chip vs 92.2
-    # at MAINT=64 (halved maintenance frequency, same in_group rows).
+    # LIT4 (round 5): two extra lit-only bit slots per step whose reads
+    # traverse only the literal region. Interpret-verified and ~-19%
+    # steps, but a MEASURED DEAD END on v5e: Mosaic's one-hot select
+    # cost is fixed-dominated (~1.1 us/select regardless of region
+    # size), so the extra region passes cost 5.78 -> 10.2 us/step and
+    # the net is 119 -> 79 MB/s/chip (docs/KERNEL_r05.md). Default OFF;
+    # kept behind the env for geometries with cheaper selects.
+    lit4 = (
+        1 if tb == 2
+        and os.environ.get("LZMA_RS_TPU_VMEM_LIT4", "0") == "1" else 0
+    )
+    # MAINT=120 measured fastest in the round-4/5 sweeps (vs 88/104/184).
     maint = int(os.environ.get("LZMA_RS_TPU_VMEM_MAINT", "120"))
     tile_default = 384 if tb == 2 else 256
     # TILE must cover one maintenance period's worst-case input pull
-    # (KernelConfig2.__post_init__): 128 + TB*MAINT + 16, rounded up to
-    # the vreg minor width
-    tile_min = 128 + tb * maint + 16
+    # (KernelConfig2.__post_init__): 128 + bytes/step*MAINT + 16,
+    # rounded up to the vreg minor width (4 bytes/step under LIT4)
+    tile_min = 128 + (4 if lit4 else tb) * maint + 16
     while tile_default < tile_min:
         tile_default += 128
     tile = int(os.environ.get("LZMA_RS_TPU_VMEM_TILE", str(tile_default)))
@@ -578,7 +587,7 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
         return SimpleNamespace(
             L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, K=8, UNROLL=unroll,
             RING=ring, NPS=nps, TB=tb, TILE=tile, MAINT=maint,
-            GAPFREE=1 if gap_free else 0,
+            GAPFREE=1 if gap_free else 0, LIT4=lit4,
         )
     from lzma_rs_tpu.ops import vmem2_decoder as vd2
 
@@ -590,7 +599,7 @@ def choose_vmem_config(plans: List[DecodePlan], for_eligibility: bool = False):
     return vd2.KernelConfig2(
         L=L, W=bucket, W_IN=bucket_in, NLIT=nlit, UNROLL=unroll, RING=ring,
         NPS=nps, TB=tb, TILE=tile, MAINT=maint,
-        GAPFREE=1 if gap_free else 0,
+        GAPFREE=1 if gap_free else 0, LIT4=lit4,
     )
 
 

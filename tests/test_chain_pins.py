@@ -25,7 +25,7 @@ from lzma_rs_tpu.utils import stats as stats_mod
 from conftest import read_ref
 
 CFG = vd2.KernelConfig2(L=4, W=4096, W_IN=4096, NLIT=1, K=8, RING=512,
-                        TB=2, TILE=384, MAINT=64)
+                        TB=2, TILE=384, MAINT=56, LIT4=1)
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -85,7 +85,8 @@ class TestChainPins:
         assert baseline / len(_corpus()) < 3.0, baseline
 
     @pytest.mark.parametrize(
-        "chain", ["chainA", "chainB", "chainC", "chainD", "chainL", "m8"]
+        "chain",
+        ["chainA", "chainB", "chainC", "chainD", "chainL", "lit4", "m8"],
     )
     def test_chain_fires(self, chain, baseline):
         ablated = _steps(chain)
